@@ -1,0 +1,131 @@
+"""Greedy NMS variants with static shapes (jit/vmap-friendly).
+
+Exact greedy NMS expressed as a fixed-trip-count loop: each of the
+``max_out`` steps selects the highest-scoring live box and suppresses its
+neighbors by IoU. This reproduces the sequential semantics of the
+reference's CUDA NMS (``pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu``,
+mmcv ``nms``) without materializing an N×N IoU matrix: per step we compute
+one-vs-all IoU (O(max_out · N) pair IoUs total), which maps onto the TPU VPU
+as wide vector ops.
+
+All functions return fixed-size index buffers plus validity masks; invalid
+slots point at index 0 with ``valid=False``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry, iou
+
+NEG_INF = -1e10
+
+
+def _greedy_nms(row_iou_fn, scores, iou_thr, max_out):
+    """Generic greedy NMS.
+
+    Args:
+        row_iou_fn: f(i) -> (N,) IoU of box i vs all boxes.
+        scores: (N,) scores; dead/invalid boxes must carry NEG_INF.
+        iou_thr: suppression threshold.
+        max_out: static output count.
+    Returns:
+        (idx (max_out,) int32, valid (max_out,) bool)
+    """
+    n = scores.shape[0]
+
+    def body(k, state):
+        alive, out_idx, out_valid = state
+        masked = jnp.where(alive, scores, NEG_INF)
+        i = jnp.argmax(masked)
+        ok = masked[i] > NEG_INF / 2
+        ious = row_iou_fn(i)
+        suppress = ious > iou_thr
+        alive = alive & ~suppress & (jnp.arange(n) != i)
+        out_idx = out_idx.at[k].set(jnp.where(ok, i, 0).astype(jnp.int32))
+        out_valid = out_valid.at[k].set(ok)
+        return alive, out_idx, out_valid
+
+    alive0 = scores > NEG_INF / 2
+    idx0 = jnp.zeros((max_out,), jnp.int32)
+    valid0 = jnp.zeros((max_out,), bool)
+    _, out_idx, out_valid = jax.lax.fori_loop(
+        0, max_out, body, (alive0, idx0, valid0)
+    )
+    return out_idx, out_valid
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def nms_bev(boxes, scores, iou_thr, max_out):
+    """Rotated BEV NMS on internal 7-dof boxes.
+
+    Matches reference ``nms_gpu`` (class-agnostic rotated-BEV NMS used by
+    ``model_nms_utils.class_agnostic_nms``).
+
+    Args:
+        boxes: (N, 7) (or (N, 5) BEV); scores: (N,) with NEG_INF for padding.
+    Returns:
+        (idx (max_out,), valid (max_out,))
+    """
+    bev = geometry.boxes_to_bev(boxes) if boxes.shape[-1] >= 7 else boxes
+    corners = geometry.boxes_to_corners_bev(bev)  # precompute once
+    areas = bev[:, 2] * bev[:, 3]
+
+    def row_iou(i):
+        inter = jax.vmap(
+            lambda c2: _overlap_from_corners(corners[i], c2)
+        )(corners)
+        return inter / jnp.maximum(areas[i] + areas - inter, 1e-6)
+
+    return _greedy_nms(row_iou, scores, iou_thr, max_out)
+
+
+def _overlap_from_corners(c1, c2):
+    """Intersection area from precomputed corner sets (4, 2) each."""
+    ipts, ivalid = iou._segment_intersections(c1, c2)
+    in1 = iou._points_in_quad(c2, c1)
+    in2 = iou._points_in_quad(c1, c2)
+    pts = jnp.concatenate([ipts, c2, c1], axis=0)
+    valid = jnp.concatenate([ivalid, in1, in2], axis=0)
+    return iou._convex_area_from_candidates(pts, valid)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def nms_2d(boxes, scores, iou_thr, max_out):
+    """Axis-aligned 2D NMS (mmcv ``nms`` semantics).
+
+    Args:
+        boxes: (N, 4) xyxy; scores: (N,) with NEG_INF padding.
+    """
+    def row_iou(i):
+        return iou.iou2d(boxes[i][None], boxes)[0]
+
+    return _greedy_nms(row_iou, scores, iou_thr, max_out)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def batched_nms_2d(boxes, scores, labels, iou_thr, max_out):
+    """Class-aware 2D NMS via the coordinate-offset trick
+    (mmcv ``batched_nms`` semantics: boxes of different classes never
+    suppress each other)."""
+    max_coord = jnp.max(jnp.abs(boxes)) + 1.0
+    offsets = labels.astype(boxes.dtype)[:, None] * (4.0 * max_coord)
+    return nms_2d(boxes + offsets, scores, iou_thr, max_out)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def batched_nms_bev(boxes, scores, labels, iou_thr, max_out):
+    """Class-aware rotated BEV NMS via BEV-center offsets.
+
+    Reproduces per-class NMS semantics (reference
+    ``box3d_multiclass_nms``, ``core/post_processing/box3d_nms.py:8``) in one
+    fused pass: shifting each class to a disjoint BEV region guarantees zero
+    cross-class overlap.
+    """
+    bev = geometry.boxes_to_bev(boxes)
+    span = jnp.max(jnp.abs(bev[:, 0:2])) + jnp.max(bev[:, 2:4]) + 1.0
+    off = labels.astype(bev.dtype)[:, None] * (4.0 * span)
+    bev = bev.at[:, 0:2].add(jnp.concatenate([off, off * 0], axis=-1))
+    return nms_bev(bev, scores, iou_thr, max_out)

@@ -1,0 +1,47 @@
+"""Benchmark: PV-RCNN inference throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context: the reference PV-RCNN runs ~10 FPS at inference on the
+GPUs of its era (OpenPCDet model zoo / mmdet3d benchmark methodology,
+``tools/analysis_tools/benchmark.py:30-90``: warmup then steady-state
+timing). vs_baseline = measured_fps / 10.0 until a measured reference
+number replaces it. Later rounds will switch this to SSL train iters/sec
+(BASELINE.json north star).
+"""
+import json
+import time
+
+import jax
+
+
+def main():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    jfn = jax.jit(fn)
+    # compile + warmup
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    for _ in range(3):
+        jax.block_until_ready(jfn(*args))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    batch = args[0]["points"].shape[0]
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": "pvrcnn_kitti_infer_fps",
+        "value": round(fps, 3),
+        "unit": "samples/sec",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,14 @@
 """Greedy NMS variants with static shapes (jit/vmap-friendly).
 
-Exact greedy NMS expressed as a fixed-trip-count loop: each of the
-``max_out`` steps selects the highest-scoring live box and suppresses its
-neighbors by IoU. This reproduces the sequential semantics of the
-reference's CUDA NMS (``pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu``,
-mmcv ``nms``) without materializing an N×N IoU matrix: per step we compute
-one-vs-all IoU (O(max_out · N) pair IoUs total), which maps onto the TPU VPU
-as wide vector ops.
+Exact greedy NMS in two phases:
+1. the pairwise IoU matrix is computed up front in row chunks
+   (``lax.map``), so the quadratic geometry work runs as wide vectorized
+   VPU ops with bounded memory;
+2. a fixed-trip-count selection loop (argmax + row-gather + mask update)
+   reproduces the sequential greedy semantics of the reference's CUDA NMS
+   (``pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu``, mmcv ``nms``) with a
+   trivial loop body — important on TPU where complex loop bodies compile
+   slowly and serialize.
 
 All functions return fixed-size index buffers plus validity masks; invalid
 slots point at index 0 with ``valid=False``.
@@ -23,17 +25,59 @@ from . import geometry, iou
 NEG_INF = -1e10
 
 
-def _greedy_nms(row_iou_fn, scores, iou_thr, max_out):
-    """Generic greedy NMS.
+def _chunked_pairwise(fn, n, chunk):
+    """Build (N, N) matrix by mapping ``fn`` over row chunks."""
+    pad = (-n) % chunk
+    starts = jnp.arange(0, n + pad, chunk)
 
-    Args:
-        row_iou_fn: f(i) -> (N,) IoU of box i vs all boxes.
-        scores: (N,) scores; dead/invalid boxes must carry NEG_INF.
-        iou_thr: suppression threshold.
-        max_out: static output count.
-    Returns:
-        (idx (max_out,) int32, valid (max_out,) bool)
-    """
+    def one(start):
+        return fn(start)  # (chunk, N)
+
+    rows = jax.lax.map(one, starts)  # (n_chunks, chunk, N)
+    return rows.reshape(-1, n)[:n]
+
+
+def iou_matrix_bev(bev, chunk=128):
+    """(N, 5) rotated BEV boxes → (N, N) IoU matrix, chunked rows."""
+    n = bev.shape[0]
+    corners = geometry.boxes_to_corners_bev(bev)  # (N, 4, 2)
+    areas = bev[:, 2] * bev[:, 3]
+
+    pad = (-n) % chunk
+    corners_p = jnp.concatenate(
+        [corners, jnp.zeros((pad, 4, 2), corners.dtype)], axis=0)
+    areas_p = jnp.concatenate([areas, jnp.zeros((pad,), areas.dtype)])
+
+    def rows(start):
+        c1 = jax.lax.dynamic_slice_in_dim(corners_p, start, chunk, 0)
+        a1 = jax.lax.dynamic_slice_in_dim(areas_p, start, chunk, 0)
+        inter = jax.vmap(
+            lambda ci: jax.vmap(
+                lambda cj: _overlap_from_corners(ci, cj))(corners)
+        )(c1)  # (chunk, N)
+        return inter / jnp.maximum(a1[:, None] + areas[None, :] - inter,
+                                   1e-6)
+
+    return _chunked_pairwise(rows, n, chunk)
+
+
+def iou_matrix_2d(boxes, chunk=1024):
+    """(N, 4) xyxy → (N, N) IoU matrix (cheap; single shot)."""
+    return iou.iou2d(boxes, boxes)
+
+
+def _overlap_from_corners(c1, c2):
+    """Intersection area from corner sets (4, 2) each."""
+    ipts, ivalid = iou._segment_intersections(c1, c2)
+    in1 = iou._points_in_quad(c2, c1)
+    in2 = iou._points_in_quad(c1, c2)
+    pts = jnp.concatenate([ipts, c2, c1], axis=0)
+    valid = jnp.concatenate([ivalid, in1, in2], axis=0)
+    return iou._convex_area_from_candidates(pts, valid)
+
+
+def _greedy_from_matrix(iou_mat, scores, iou_thr, max_out):
+    """Greedy selection given a precomputed IoU matrix."""
     n = scores.shape[0]
 
     def body(k, state):
@@ -41,9 +85,8 @@ def _greedy_nms(row_iou_fn, scores, iou_thr, max_out):
         masked = jnp.where(alive, scores, NEG_INF)
         i = jnp.argmax(masked)
         ok = masked[i] > NEG_INF / 2
-        ious = row_iou_fn(i)
-        suppress = ious > iou_thr
-        alive = alive & ~suppress & (jnp.arange(n) != i)
+        suppress = iou_mat[i] > iou_thr
+        alive = alive & ~suppress & (jnp.arange(n) != i) & ok
         out_idx = out_idx.at[k].set(jnp.where(ok, i, 0).astype(jnp.int32))
         out_valid = out_valid.at[k].set(ok)
         return alive, out_idx, out_valid
@@ -52,8 +95,7 @@ def _greedy_nms(row_iou_fn, scores, iou_thr, max_out):
     idx0 = jnp.zeros((max_out,), jnp.int32)
     valid0 = jnp.zeros((max_out,), bool)
     _, out_idx, out_valid = jax.lax.fori_loop(
-        0, max_out, body, (alive0, idx0, valid0)
-    )
+        0, max_out, body, (alive0, idx0, valid0))
     return out_idx, out_valid
 
 
@@ -65,31 +107,13 @@ def nms_bev(boxes, scores, iou_thr, max_out):
     ``model_nms_utils.class_agnostic_nms``).
 
     Args:
-        boxes: (N, 7) (or (N, 5) BEV); scores: (N,) with NEG_INF for padding.
+        boxes: (N, 7) (or (N, 5) BEV); scores: (N,) with NEG_INF padding.
     Returns:
         (idx (max_out,), valid (max_out,))
     """
     bev = geometry.boxes_to_bev(boxes) if boxes.shape[-1] >= 7 else boxes
-    corners = geometry.boxes_to_corners_bev(bev)  # precompute once
-    areas = bev[:, 2] * bev[:, 3]
-
-    def row_iou(i):
-        inter = jax.vmap(
-            lambda c2: _overlap_from_corners(corners[i], c2)
-        )(corners)
-        return inter / jnp.maximum(areas[i] + areas - inter, 1e-6)
-
-    return _greedy_nms(row_iou, scores, iou_thr, max_out)
-
-
-def _overlap_from_corners(c1, c2):
-    """Intersection area from precomputed corner sets (4, 2) each."""
-    ipts, ivalid = iou._segment_intersections(c1, c2)
-    in1 = iou._points_in_quad(c2, c1)
-    in2 = iou._points_in_quad(c1, c2)
-    pts = jnp.concatenate([ipts, c2, c1], axis=0)
-    valid = jnp.concatenate([ivalid, in1, in2], axis=0)
-    return iou._convex_area_from_candidates(pts, valid)
+    mat = iou_matrix_bev(bev)
+    return _greedy_from_matrix(mat, scores, iou_thr, max_out)
 
 
 @partial(jax.jit, static_argnames=("max_out",))
@@ -99,10 +123,8 @@ def nms_2d(boxes, scores, iou_thr, max_out):
     Args:
         boxes: (N, 4) xyxy; scores: (N,) with NEG_INF padding.
     """
-    def row_iou(i):
-        return iou.iou2d(boxes[i][None], boxes)[0]
-
-    return _greedy_nms(row_iou, scores, iou_thr, max_out)
+    mat = iou.iou2d(boxes, boxes)
+    return _greedy_from_matrix(mat, scores, iou_thr, max_out)
 
 
 @partial(jax.jit, static_argnames=("max_out",))

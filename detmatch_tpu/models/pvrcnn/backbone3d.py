@@ -1,0 +1,136 @@
+"""VoxelBackbone8x: sparse 3D conv backbone (reference
+``pcdet/models/backbones_3d/spconv_backbone.py:70-199``), TPU-native.
+
+Topology: SubM(4→16) → [SparseConv s2 + 2×SubM] ×3 (16→32→64→64) →
+SparseConv (3,1,1)/(2,1,1) z-compression to 128ch. Emits multi-scale sparse
+features x_conv1..4 (strides 1/2/4/8) and the z-compressed output for BEV.
+
+TPU design: each resolution level is a fixed-capacity sparse buffer; the
+rulebook for an indice_key is built once per level and shared by all layers
+with that key (the reference's ``indice_dict`` cache, ``conv.py:95-169``,
+becomes explicit dataflow). BatchNorm runs masked across the whole batch of
+voxels, matching torch BatchNorm1d over the flattened voxel dim.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops import spconv
+from ...ops.voxelize import INVALID_KEY
+from ..layers import MaskedBatchNorm
+
+KAIMING = nn.initializers.he_normal(in_axis=(0, 1), out_axis=2)
+
+
+class VoxelBackbone8x(nn.Module):
+    spatial_shape: Tuple[int, int, int]  # (Z, Y, X), e.g. (41, 1600, 1408)
+    channels: Tuple[int, ...] = (16, 16, 32, 64, 64)
+    out_channels: int = 128
+    # capacity of each downsampled level (conv2, conv3, conv4, out)
+    caps: Tuple[int, int, int, int] = (24000, 16000, 10000, 10000)
+    use_running_average: bool = False
+
+    def _subm(self, name, feats, rulebook, cin, cout, mask, train):
+        w = self.param(name + "_w", KAIMING, (27, cin, cout))
+        out = jax.vmap(spconv.gather_conv, (0, 0, None))(feats, rulebook, w)
+        out = MaskedBatchNorm(
+            name=name + "_bn",
+            use_running_average=self.use_running_average,
+        )(out, mask=mask, use_running_average=not train)
+        return jnp.where(mask[..., None], nn.relu(out), 0.0)
+
+    def _down(self, name, feats, keys, shape_in, kernel, stride, padding,
+              cin, cout, cap, mask_in, train):
+        """Strided sparse conv level transition."""
+        kernel = spconv._triple(kernel)
+        stride_t = spconv._triple(stride)
+        padding_t = spconv._triple(padding)
+        shape_out = spconv.output_spatial_shape(shape_in, kernel, stride_t,
+                                                padding_t)
+        out_keys, count = jax.vmap(
+            spconv.downsample_keys,
+            (0, None, None, None, None, None, None),
+        )(keys, shape_in, shape_out, kernel, stride_t, padding_t, cap)
+        rb = jax.vmap(
+            spconv.build_sparse_rulebook,
+            (0, 0, None, None, None, None, None),
+        )(keys, out_keys, shape_in, shape_out, kernel, stride_t, padding_t)
+        k_total = kernel[0] * kernel[1] * kernel[2]
+        w = self.param(name + "_w", KAIMING, (k_total, cin, cout))
+        out = jax.vmap(spconv.gather_conv, (0, 0, None))(feats, rb, w)
+        mask = out_keys != INVALID_KEY
+        out = MaskedBatchNorm(
+            name=name + "_bn",
+            use_running_average=self.use_running_average,
+        )(out, mask=mask, use_running_average=not train)
+        out = jnp.where(mask[..., None], nn.relu(out), 0.0)
+        return out, out_keys, count, mask, shape_out
+
+    @nn.compact
+    def __call__(self, voxel_features, voxel_keys, train: bool = False
+                 ) -> Dict[str, Any]:
+        """
+        Args:
+            voxel_features: (B, N0, C_in) mean-VFE features.
+            voxel_keys: (B, N0) sorted int32 keys (INVALID_KEY padding).
+        Returns:
+            dict with x_conv1..4 (feats/keys/mask/shape/stride) and
+            'out' (z-compressed, stride 8, for HeightCompression).
+        """
+        c1, c1b, c2, c3, c4 = self.channels
+        shape1 = self.spatial_shape
+        mask1 = voxel_keys != INVALID_KEY
+
+        rb1 = jax.vmap(spconv.build_subm_rulebook, (0, None, None))(
+            voxel_keys, shape1, (3, 3, 3))
+        x = self._subm("conv_input", voxel_features, rb1,
+                       voxel_features.shape[-1], c1, mask1, train)
+        x = self._subm("conv1_0", x, rb1, c1, c1b, mask1, train)
+        x_conv1 = x
+
+        x, keys2, n2, mask2, shape2 = self._down(
+            "conv2_down", x, voxel_keys, shape1, 3, 2, 1, c1b, c2,
+            self.caps[0], mask1, train)
+        rb2 = jax.vmap(spconv.build_subm_rulebook, (0, None, None))(
+            keys2, shape2, (3, 3, 3))
+        x = self._subm("conv2_0", x, rb2, c2, c2, mask2, train)
+        x = self._subm("conv2_1", x, rb2, c2, c2, mask2, train)
+        x_conv2 = x
+
+        x, keys3, n3, mask3, shape3 = self._down(
+            "conv3_down", x, keys2, shape2, 3, 2, 1, c2, c3,
+            self.caps[1], mask2, train)
+        rb3 = jax.vmap(spconv.build_subm_rulebook, (0, None, None))(
+            keys3, shape3, (3, 3, 3))
+        x = self._subm("conv3_0", x, rb3, c3, c3, mask3, train)
+        x = self._subm("conv3_1", x, rb3, c3, c3, mask3, train)
+        x_conv3 = x
+
+        x, keys4, n4, mask4, shape4 = self._down(
+            "conv4_down", x, keys3, shape3, 3, 2, (0, 1, 1), c3, c4,
+            self.caps[2], mask3, train)
+        rb4 = jax.vmap(spconv.build_subm_rulebook, (0, None, None))(
+            keys4, shape4, (3, 3, 3))
+        x = self._subm("conv4_0", x, rb4, c4, c4, mask4, train)
+        x = self._subm("conv4_1", x, rb4, c4, c4, mask4, train)
+        x_conv4 = x
+
+        out, keys_out, n_out, mask_out, shape_out = self._down(
+            "conv_out", x, keys4, shape4, (3, 1, 1), (2, 1, 1), 0, c4,
+            self.out_channels, self.caps[3], mask4, train)
+
+        def level(feats, keys, mask, shape, stride):
+            return dict(feats=feats, keys=keys, mask=mask, shape=shape,
+                        stride=stride)
+
+        return {
+            "x_conv1": level(x_conv1, voxel_keys, mask1, shape1, 1),
+            "x_conv2": level(x_conv2, keys2, mask2, shape2, 2),
+            "x_conv3": level(x_conv3, keys3, mask3, shape3, 4),
+            "x_conv4": level(x_conv4, keys4, mask4, shape4, 8),
+            "out": level(out, keys_out, mask_out, shape_out, 8),
+        }

@@ -1,0 +1,199 @@
+"""VoxelSetAbstraction (reference
+``pcdet/models/backbones_3d/pfe/voxel_set_abstraction.py:43-240``).
+
+FPS-samples 2048 keypoints from raw points, then aggregates per-keypoint
+features from: bilinear BEV interpolation, raw-point SA, and SA over the
+voxel centers of x_conv1..4 — each SA source has two radius groups with
+their own MLPs; results are concatenated (640ch) and fused to 128 via
+Linear+BN+ReLU.
+
+TPU design: ball queries are vmapped per sample; the shared MLPs and their
+BatchNorms run on the full batched (B, M, nsample, C) tensor with validity
+masks, so BN statistics aggregate over the whole batch exactly like the
+reference's BatchNorm over stacked points.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops import pointnet
+from ...ops.voxelize import INVALID_KEY, delinearize
+from ..layers import MLP, MaskedBatchNorm
+
+
+def voxel_centers(keys, spatial_shape, stride, voxel_size,
+                  point_cloud_range):
+    """Sparse keys → xyz centers (reference ``common_utils.py:66-80``)."""
+    zyx = delinearize(jnp.where(keys == INVALID_KEY, 0, keys), spatial_shape)
+    xyz = zyx[..., ::-1].astype(jnp.float32)
+    vs = jnp.asarray(voxel_size, jnp.float32) * stride
+    origin = jnp.asarray(point_cloud_range[:3], jnp.float32)
+    return (xyz + 0.5) * vs + origin
+
+
+def bilinear_interpolate(im, x, y):
+    """im: (H, W, C); x, y: (N,) continuous indices → (N, C).
+
+    Matches reference ``bilinear_interpolate_torch`` (clamped corners).
+    """
+    h, w = im.shape[0], im.shape[1]
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    Ia, Ib = im[y0, x0], im[y1, x0]
+    Ic, Id = im[y0, x1], im[y1, x1]
+    x0f, x1f = x0.astype(x.dtype), x1.astype(x.dtype)
+    y0f, y1f = y0.astype(y.dtype), y1.astype(y.dtype)
+    wa = (x1f - x) * (y1f - y)
+    wb = (x1f - x) * (y - y0f)
+    wc = (x - x0f) * (y1f - y)
+    wd = (x - x0f) * (y - y0f)
+    return (Ia * wa[:, None] + Ib * wb[:, None] + Ic * wc[:, None]
+            + Id * wd[:, None])
+
+
+def batched_group(keypoints, kp_valid, xyz, xyz_valid, feats, radius,
+                  nsample):
+    """Ball query + grouping over a batch.
+
+    Args:
+        keypoints: (B, M, 3); xyz: (B, N, 3); feats: (B, N, C) or None.
+    Returns:
+        grouped (B, M, nsample, 3 + C) keypoint-relative, masked;
+        slot_valid (B, M, nsample) bool; cnt (B, M) int32.
+    """
+    idx, cnt = jax.vmap(
+        pointnet.ball_query, (0, 0, 0, 0, None, None)
+    )(keypoints, kp_valid, xyz, xyz_valid, radius, nsample)
+    gxyz = jax.vmap(lambda p, i: p[i])(xyz, idx)  # (B, M, ns, 3)
+    rel = gxyz - keypoints[:, :, None, :]
+    parts = [rel]
+    if feats is not None and feats.shape[-1] > 0:
+        parts.append(jax.vmap(lambda f, i: f[i])(feats, idx))
+    grouped = jnp.concatenate(parts, axis=-1)
+    slot_valid = (jnp.arange(nsample)[None, None, :] < cnt[..., None])
+    grouped = jnp.where(slot_valid[..., None], grouped, 0.0)
+    return grouped, slot_valid, cnt
+
+
+class SABranch(nn.Module):
+    """One SA source: radius groups, each query+group+MLP+masked-maxpool.
+
+    Operates on batched tensors (BN over the whole batch, like the
+    reference's BatchNorm1d over stacked points,
+    ``pointnet2_modules.py:10-94``)."""
+    radii: Tuple[float, ...]
+    nsamples: Tuple[int, ...]
+    mlps: Tuple[Tuple[int, ...], ...]
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, keypoints, kp_valid, xyz, xyz_valid, feats,
+                 train: bool = False):
+        outs = []
+        for gi, (r, ns, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            grouped, slot_valid, cnt = batched_group(
+                keypoints, kp_valid, xyz, xyz_valid, feats, r, ns)
+            out = MLP(tuple(mlp), name=f"mlp{gi}",
+                      use_running_average=self.use_running_average)(
+                grouped, mask=slot_valid, use_running_average=not train)
+            out = jnp.where(slot_valid[..., None], out, -pointnet.BIG_DIST)
+            pooled = jnp.max(out, axis=2)  # (B, M, C')
+            pooled = jnp.where((cnt > 0)[..., None], pooled, 0.0)
+            outs.append(pooled)
+        return jnp.concatenate(outs, axis=-1)
+
+
+class VoxelSetAbstraction(nn.Module):
+    num_keypoints: int = 2048
+    num_out_features: int = 128
+    voxel_size: Tuple[float, float, float] = (0.05, 0.05, 0.1)
+    point_cloud_range: Tuple[float, ...] = (0, -40, -3, 70.4, 40, 1)
+    sa_cfg: Dict = None
+    use_running_average: bool = False
+
+    def _default_sa_cfg(self):
+        """DetMatch config values (``split_0.py:177-210``)."""
+        return {
+            "raw_points": dict(radii=(0.4, 0.8), nsamples=(16, 16),
+                               mlps=((16, 16), (16, 16))),
+            "x_conv1": dict(radii=(0.4, 0.8), nsamples=(16, 16),
+                            mlps=((16, 16), (16, 16))),
+            "x_conv2": dict(radii=(0.8, 1.2), nsamples=(16, 32),
+                            mlps=((32, 32), (32, 32))),
+            "x_conv3": dict(radii=(1.2, 2.4), nsamples=(16, 32),
+                            mlps=((64, 64), (64, 64))),
+            "x_conv4": dict(radii=(2.4, 4.8), nsamples=(16, 32),
+                            mlps=((64, 64), (64, 64))),
+        }
+
+    @nn.compact
+    def __call__(self, points, points_valid, bev_features, ms_features,
+                 train: bool = False):
+        """
+        Args:
+            points: (B, P, 4) raw points (xyz + intensity).
+            points_valid: (B, P) bool.
+            bev_features: (B, H, W, C) stride-8 BEV
+                (HeightCompression output — 'spatial_features').
+            ms_features: backbone3d output dict (x_conv1..4 levels).
+        Returns:
+            dict(keypoints (B, M, 3), kp_valid (B, M),
+                 point_features (B, M, 128),
+                 point_features_before_fusion (B, M, C_in)).
+        """
+        sa_cfg = self.sa_cfg or self._default_sa_cfg()
+
+        kp_idx = jax.vmap(pointnet.farthest_point_sample,
+                          (0, 0, None))(points[..., :3], points_valid,
+                                        self.num_keypoints)
+        keypoints = jnp.take_along_axis(
+            points[..., :3], kp_idx[..., None], axis=1)  # (B, M, 3)
+        kp_valid = jnp.broadcast_to(
+            jnp.any(points_valid, axis=1)[:, None],
+            (points.shape[0], self.num_keypoints))
+
+        feats_list = []
+
+        pcr = self.point_cloud_range
+        vx, vy = self.voxel_size[0], self.voxel_size[1]
+        x_idx = (keypoints[..., 0] - pcr[0]) / vx / 8.0
+        y_idx = (keypoints[..., 1] - pcr[1]) / vy / 8.0
+        bev_pt = jax.vmap(bilinear_interpolate)(bev_features, x_idx, y_idx)
+        feats_list.append(bev_pt)
+
+        feats_list.append(SABranch(
+            name="sa_raw_points",
+            use_running_average=self.use_running_average,
+            **sa_cfg["raw_points"])(
+            keypoints, kp_valid, points[..., :3], points_valid,
+            points[..., 3:], train=train))
+
+        for name in ("x_conv1", "x_conv2", "x_conv3", "x_conv4"):
+            lv = ms_features[name]
+            centers = voxel_centers(lv["keys"], lv["shape"], lv["stride"],
+                                    self.voxel_size, pcr)
+            feats_list.append(SABranch(
+                name=f"sa_{name}",
+                use_running_average=self.use_running_average,
+                **sa_cfg[name])(
+                keypoints, kp_valid, centers, lv["mask"], lv["feats"],
+                train=train))
+
+        before_fusion = jnp.concatenate(feats_list, axis=-1)
+        fused = nn.Dense(self.num_out_features, use_bias=False,
+                         name="fusion")(before_fusion)
+        fused = MaskedBatchNorm(
+            name="fusion_bn",
+            use_running_average=self.use_running_average,
+        )(fused, mask=kp_valid, use_running_average=not train)
+        fused = nn.relu(fused)
+        return dict(keypoints=keypoints, kp_valid=kp_valid,
+                    point_features=fused,
+                    point_features_before_fusion=before_fusion)

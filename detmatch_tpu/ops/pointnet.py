@@ -1,0 +1,134 @@
+"""PointNet++-style set ops: farthest point sampling, ball query, grouping.
+
+Replaces the reference's ``pointnet2_stack`` CUDA kernels
+(``pcdet/ops/pointnet2/pointnet2_stack/src/{sampling,ball_query,
+group_points}_gpu.cu``) with static-shape XLA formulations. The reference's
+"stack" layout (ragged batches via ``batch_cnt`` arrays) is unnecessary
+here: samples are fixed-capacity with validity masks and batched by vmap.
+
+Semantics mirrored:
+* FPS: greedy max-min sampling starting from point 0; invalid points are
+  never selected. If fewer valid points than samples, selection repeats
+  (downstream consumers mask by count, matching the CUDA behavior of
+  repeated indices when npoints > N).
+* ball_query: up to ``nsample`` neighbors within ``radius``, **first-found
+  in index order** (reference ``ball_query_gpu.cu`` takes the first
+  nsample), empty balls flagged.
+* grouping: neighbors gathered, xyz made keypoint-relative; invalid slots
+  zeroed (reference QueryAndGroup + empty_ball_mask semantics).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG_DIST = 1e10
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def farthest_point_sample(xyz, valid, num_samples):
+    """Greedy farthest point sampling.
+
+    Args:
+        xyz: (N, 3); valid: (N,) bool; num_samples: static int.
+    Returns:
+        idx: (num_samples,) int32.
+    """
+    n = xyz.shape[0]
+    d2 = jnp.where(valid, BIG_DIST, -1.0)  # invalid never selected
+
+    first = jnp.argmax(valid.astype(jnp.int32)).astype(jnp.int32)
+
+    def body(i, state):
+        d2_, idx_, last = state
+        delta = xyz - xyz[last]
+        nd = jnp.sum(delta * delta, axis=-1)
+        d2_ = jnp.minimum(d2_, jnp.where(valid, nd, -1.0))
+        nxt = jnp.argmax(d2_).astype(jnp.int32)
+        idx_ = idx_.at[i].set(nxt)
+        return d2_, idx_, nxt
+
+    idx0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first)
+    d2, idx, _ = jax.lax.fori_loop(
+        1, num_samples, body,
+        (jnp.where(valid, BIG_DIST, -1.0), idx0, first))
+    return idx
+
+
+@partial(jax.jit, static_argnames=("nsample", "chunk"))
+def ball_query(centers, centers_valid, points, points_valid, radius,
+               nsample, chunk=512):
+    """First-``nsample`` neighbors within ``radius`` of each center.
+
+    Args:
+        centers: (M, 3); points: (N, 3); *_valid: bool masks.
+    Returns:
+        (idx (M, nsample) int32 — first valid neighbor broadcast into
+         unused slots (CUDA kernel behavior), garbage if empty;
+         cnt (M,) int32 — number of real neighbors (0 = empty ball)).
+    """
+    M = centers.shape[0]
+    N = points.shape[0]
+    r2 = radius * radius
+    pad = (-M) % chunk
+    c = jnp.concatenate(
+        [centers, jnp.zeros((pad, 3), centers.dtype)], axis=0
+    ).reshape(-1, chunk, 3)
+    cv = jnp.concatenate(
+        [centers_valid, jnp.zeros((pad,), bool)]
+    ).reshape(-1, chunk)
+
+    arange_n = jnp.arange(N, dtype=jnp.float32)
+
+    def one_chunk(args):
+        cc, ccv = args
+        d2 = jnp.sum(
+            (cc[:, None, :] - points[None, :, :]) ** 2, axis=-1
+        )  # (chunk, N)
+        within = (d2 <= r2) & points_valid[None, :] & ccv[:, None]
+        # first-k by index order: key = index if within else BIG
+        keyv = jnp.where(within, arange_n[None, :], BIG_DIST)
+        neg_top, top_idx = jax.lax.top_k(-keyv, nsample)
+        ok = (-neg_top) < BIG_DIST / 2
+        cnt = jnp.sum(ok.astype(jnp.int32), axis=-1)
+        # broadcast first neighbor into empty slots (reference semantics)
+        first_idx = top_idx[:, :1]
+        idx = jnp.where(ok, top_idx, first_idx)
+        return idx.astype(jnp.int32), cnt
+
+    idx, cnt = jax.lax.map(one_chunk, (c, cv))
+    idx = idx.reshape(-1, nsample)[:M]
+    cnt = cnt.reshape(-1)[:M]
+    return idx, cnt
+
+
+def group_and_pool(centers, centers_valid, points, points_valid,
+                   point_feats, radius, nsample, mlp_fn):
+    """QueryAndGroup + shared MLP + masked max-pool (one SA branch).
+
+    Mirrors reference ``StackSAModuleMSG`` (``pointnet2_modules.py:10-94``):
+    grouped features = concat(rel_xyz, point_feats); MLP applied pointwise;
+    max over valid neighbors; empty balls → zeros.
+
+    Args:
+        centers: (M, 3); points: (N, 3); point_feats: (N, C) or None.
+        mlp_fn: callable (M, nsample, 3+C) → (M, nsample, C') —
+            the pointwise MLP (a flax module partial).
+    Returns:
+        (M, C') pooled features.
+    """
+    idx, cnt = ball_query(centers, centers_valid, points, points_valid,
+                          radius, nsample)
+    grouped_xyz = points[idx] - centers[:, None, :]  # (M, nsample, 3)
+    feats = [grouped_xyz]
+    if point_feats is not None:
+        feats.append(point_feats[idx])
+    grouped = jnp.concatenate(feats, axis=-1)
+    slot_valid = (jnp.arange(nsample)[None, :] < cnt[:, None])
+    grouped = jnp.where(slot_valid[..., None], grouped, 0.0)
+    out = mlp_fn(grouped)  # (M, nsample, C')
+    out = jnp.where(slot_valid[..., None], out, -BIG_DIST)
+    pooled = jnp.max(out, axis=1)
+    return jnp.where((cnt > 0)[:, None], pooled, 0.0)

@@ -1,0 +1,55 @@
+"""BoxSet: the fixed-shape currency of the SSL pipeline.
+
+The reference passes ``list[tuple(bboxes, scores, ...)]`` of ragged
+per-image tensors between SSL modules (``ssl_modules/utils.py``); here a
+BoxSet is a dict pytree of fixed-capacity arrays:
+
+    boxes:  (B, K, D)   D = 7 (3D) or 4 (2D xyxy)
+    scores: (B, K, C)   per-class sigmoid scores (bg column NOT stored:
+                        modules strip it at the source, mirroring the
+                        reference's cls_includes_bg_pred handling)
+    valid:  (B, K) bool
+
+Filtering never changes shapes — it clears validity bits. Gathering
+(matching) produces index maps + validity.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def make(boxes, scores, valid):
+    return dict(boxes=boxes, scores=scores, valid=valid)
+
+
+def detach(bs):
+    """DetachBboxes (``processors_3d.py:60-78``)."""
+    return jax.tree.map(jax.lax.stop_gradient, bs)
+
+
+def max_score_filter(bs, score_thr):
+    """MaxScoreFilter (``processors_fusion.py:10-48``): keep boxes whose max
+    class score exceeds the threshold. (Scores are stored bg-stripped, so no
+    cls_includes_bg_pred branch is needed here.)"""
+    max_s = jnp.max(bs["scores"], axis=-1)
+    return dict(boxes=bs["boxes"], scores=bs["scores"],
+                valid=bs["valid"] & (max_s > score_thr))
+
+
+def gather(bs, idx, valid):
+    """Select slots by per-image index maps (B, K') + validity."""
+    b = jax.vmap(lambda x, i: x[i])
+    out = dict(
+        boxes=b(bs["boxes"], idx),
+        scores=b(bs["scores"], idx),
+        valid=jax.vmap(lambda v, i: v[i])(bs["valid"], idx) & valid,
+    )
+    out["boxes"] = jnp.where(out["valid"][..., None], out["boxes"], 0.0)
+    out["scores"] = jnp.where(out["valid"][..., None], out["scores"], 0.0)
+    return out
+
+
+def num_valid(bs):
+    """NumPreds metric (``metrics.py:10-24``): mean #boxes per image."""
+    return jnp.mean(jnp.sum(bs["valid"].astype(jnp.float32), axis=-1))

@@ -1,0 +1,301 @@
+"""DetMatch SSL detector: teacher/student orchestration, EMA, loss weights.
+
+Mirrors reference ``mmdet3d/models/detectors/ssl.py`` + the DetMatch module
+pipeline (``configs/detmatch/001/detmatch/split_0.py:275-425``), re-expressed
+as one pure jittable function over fixed-shape pytrees:
+
+* teacher = EMA of student with true-average rampup
+  (``ssl.py:129-163``: decay = min(1 - 1/(iter + round(1/(1-d0))), d_max));
+* unlabeled-loss exponential rampup weight (``ssl.py:165-181``);
+* labeled pipeline: supervised 3D + 2D losses on the student;
+* unlabeled pipeline: teacher inference (3D post-NMS, 2D NMS'd), de-aug to
+  the clean frame, score filters, fusion Hungarian matching with cost
+  threshold, re-aug into the student frame, hard pseudo-label losses
+  (3D full; 2D cls-only ×4), student 3D→2D projection + second matching +
+  Hungarian consistency loss.
+
+Everything runs on-device: no host round-trips inside the step.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.transforms import Aug2D, Aug3D
+from ..models.frcnn.faster_rcnn import FasterRCNN
+from ..models.pvrcnn.pvrcnn import PVRCNN, post_processing
+from . import boxset, modules
+
+
+@dataclass(frozen=True)
+class SSLConfig:
+    """DetMatch train_cfg.ssl (``split_0.py:434-441``) + module params."""
+    ema_decay: float = 0.999
+    true_avg_rampup: bool = True
+    rampup_start_decay: float = 0.99
+    use_student_bn_stats_for_teacher: bool = False
+    ssl_weight: float = 1.0
+    ssl_weight_rampup_start_iter: int = 0
+    ssl_weight_rampup_num_iter: int = 0
+    # module params (split_0.py:275-425)
+    score_filter_3d: float = 0.1
+    score_filter_2d: float = 0.1
+    nms_2d_cfg: Tuple[float, float, int] = (0.05, 0.5, 100)
+    proj_nms_2d_cfg: Tuple[float, float, int] = (0.1, 0.5, 100)
+    cost_thr: float = -1.5
+    pseudo_score_thr_3d: float = 0.1
+    pseudo_score_thr_2d: float = 0.1
+    hard_pseudo_2d_weight: float = 4.0
+    consistency_weights: Tuple[float, float, float] = (2.0, 20.0, 2.0)
+    max_pseudo_gt: int = 64
+
+
+def ema_decay_at(it, cfg: SSLConfig):
+    """``ssl.py:129-144``."""
+    if not cfg.true_avg_rampup:
+        return jnp.asarray(cfg.ema_decay, jnp.float32)
+    start = max(round(1.0 / (1.0 - cfg.rampup_start_decay)), 2)
+    return jnp.minimum(1.0 - 1.0 / (it + start), cfg.ema_decay)
+
+
+def ssl_weight_at(it, cfg: SSLConfig):
+    """``ssl.py:165-181``."""
+    if cfg.ssl_weight_rampup_num_iter == 0:
+        return jnp.asarray(cfg.ssl_weight, jnp.float32)
+    current = jnp.clip(it - cfg.ssl_weight_rampup_start_iter, 0,
+                       cfg.ssl_weight_rampup_num_iter)
+    phase = 1.0 - current / cfg.ssl_weight_rampup_num_iter
+    w = cfg.ssl_weight * jnp.exp(-5.0 * phase * phase)
+    return jnp.where(it < cfg.ssl_weight_rampup_start_iter, 0.0, w)
+
+
+def ema_update(teacher_params, student_params, decay,
+               use_student_bn_stats=False):
+    """``ssl.py:146-163``: teacher = decay*teacher + (1-decay)*student.
+
+    Applied to the full variable trees; with use_student_bn_stats the
+    batch_stats subtree is copied from the student instead of averaged.
+    """
+    def avg(t, s):
+        return t * decay + s * (1.0 - decay)
+
+    out = jax.tree.map(avg, teacher_params, student_params)
+    if use_student_bn_stats:
+        for det in out:
+            if "batch_stats" in out[det]:
+                out[det]["batch_stats"] = student_params[det]["batch_stats"]
+    return out
+
+
+def pseudo_gt_from_boxset(bs, score_thr, max_gt):
+    """Thresholded BoxSet → (B, max_gt, 8) zero-padded gt tensor
+    (Opd_HardPseudoLabel_3D, ``ssl_modules/consumers/openpcdet.py:98-209``).
+    """
+    max_s = jnp.max(bs["scores"], axis=-1)
+    labels = jnp.argmax(bs["scores"], axis=-1).astype(jnp.float32) + 1.0
+    keep = bs["valid"] & (max_s > score_thr)
+
+    def single(boxes, lab, k):
+        order = jnp.argsort(~k, stable=True)[:max_gt]
+        kk = k[order]
+        gt = jnp.concatenate([boxes[order], lab[order][:, None]], axis=-1)
+        return jnp.where(kk[:, None], gt, 0.0)
+
+    return jax.vmap(single)(bs["boxes"], labels, keep)
+
+
+class SSLDetector:
+    """Functional teacher/student pair over PVRCNN + FasterRCNN.
+
+    State layout (a pytree; 'student' is the trainable half):
+        {'student': {'det3d': vars, 'det2d': vars},
+         'teacher': {'det3d': vars, 'det2d': vars}}
+    where vars are flax variable dicts ({'params', 'batch_stats'/'frozen'}).
+    """
+
+    def __init__(self, pvrcnn: PVRCNN, frcnn: FasterRCNN,
+                 cfg: SSLConfig = SSLConfig()):
+        self.pvrcnn = pvrcnn
+        self.frcnn = frcnn
+        self.cfg = cfg
+
+    # ---------------- init ----------------
+
+    def init_states(self, rng, batch3d, images, img_shapes):
+        k1, k2 = jax.random.split(rng)
+        v3 = self.pvrcnn.init({"params": k1, "sampling": k1, "dropout": k1},
+                              batch3d, train=True)
+        v2 = self.frcnn.init({"params": k2}, images, img_shapes, train=True)
+        student = {"det3d": dict(v3), "det2d": dict(v2)}
+        teacher = jax.tree.map(lambda x: x, student)  # copy
+        return {"student": student, "teacher": teacher}
+
+    # ---------------- branch helpers ----------------
+
+    def _det3d_train(self, variables, batch, rng):
+        out, mut = self.pvrcnn.apply(
+            variables, batch, train=True,
+            rngs={"sampling": rng, "dropout": rng},
+            mutable=["batch_stats"])
+        losses = self.pvrcnn.apply(variables, out, batch,
+                                   method=PVRCNN.loss)
+        return out, losses, mut
+
+    def _det3d_teacher_boxes(self, variables, batch):
+        out = self.pvrcnn.apply(variables, batch, train=False)
+        post = post_processing(out)
+        return dict(boxes=post["boxes"], scores=post["sem_scores_full"],
+                    valid=post["valid"])
+
+    def _det3d_student_boxes(self, out_train):
+        """Student boxes from the training forward (DetMatch
+        out_bboxes_key path, no_nms=False)."""
+        post = post_processing(out_train, nms_pre=128, nms_post=128)
+        return dict(boxes=post["boxes"], scores=post["sem_scores_full"],
+                    valid=post["valid"])
+
+    def _det2d_teacher_boxes(self, variables, batch, cfg):
+        """SimpleTest_2D + BboxesNMS_2D (scores keep the bg column in the
+        reference; we strip it after NMS — ``processors_fusion.py:118``)."""
+        score_thr, iou_thr, max_num = cfg
+        res = self.frcnn.apply(
+            variables, batch["img"], batch["img_shape"],
+            score_thr, iou_thr, max_num, True,
+            method=FasterRCNN.simple_test)
+        return dict(boxes=res["boxes"],
+                    scores=res["scores_full"][..., :-1],  # strip bg
+                    valid=res["valid"])
+
+    # ---------------- main train loss ----------------
+
+    def forward_train(self, state, batch, it, rng):
+        """Compute total loss + metrics for one SSL iteration.
+
+        Args:
+            state: see class docstring.
+            batch: {'lab': {'stu': ..., 'tea': ...},
+                    'unlab': {'stu': ..., 'tea': ...}} — each view holds
+                points/voxels/img/img_shape/lidar2img/ori_shape/aug3d/aug2d
+                (+ gt_boxes / gt_boxes2d / gt_labels2d / gt2d_valid on lab).
+            it: iteration scalar (for ramps).
+        Returns:
+            (total_loss, aux dict with log vars and new batch_stats).
+        """
+        cfg = self.cfg
+        stu = state["student"]
+        tea = jax.tree.map(jax.lax.stop_gradient, state["teacher"])
+        k3, k2, k3u, k2u = jax.random.split(rng, 4)
+        logs = {}
+        new_stats = {}
+
+        # ===== labeled: supervised losses (Opd_Supervised_3D /
+        # TwoStageSupervised_2D) =====
+        lab = batch["lab"]["stu"]
+        out3d, sup3d, mut3d = self._det3d_train(stu["det3d"], lab, k3)
+        new_stats["det3d"] = mut3d["batch_stats"]
+        fwd2d = self.frcnn.apply(stu["det2d"], lab["img"],
+                                 lab["img_shape"], train=True)
+        sup2d = self.frcnn.apply(
+            stu["det2d"], k2, fwd2d, lab["gt_boxes2d"], lab["gt_labels2d"],
+            lab["gt2d_valid"], method=FasterRCNN.loss)
+        sup_losses = {f"sup.3d.{k}": v for k, v in sup3d.items()
+                      if k != "loss"}
+        sup_losses.update({f"sup.2d.{k}": v for k, v in sup2d.items()})
+
+        # ===== unlabeled pipeline =====
+        u_tea = batch["unlab"]["tea"]
+        u_stu = batch["unlab"]["stu"]
+
+        # (3D) teacher boxes → de-aug → score filter
+        tea3d = self._det3d_teacher_boxes(tea["det3d"], u_tea)
+        tea3d_noaug = modules.transform_3d(tea3d, u_tea["aug3d"],
+                                           reverse=True)
+        tea3d_filt = boxset.max_score_filter(tea3d_noaug,
+                                             cfg.score_filter_3d)
+
+        # (2D) teacher boxes → NMS → de-aug → score filter
+        tea2d = self._det2d_teacher_boxes(tea["det2d"], u_tea,
+                                          cfg.nms_2d_cfg)
+        tea2d_noaug = modules.transform_2d(tea2d, u_tea["aug2d"],
+                                           reverse=True)
+        tea2d_filt = boxset.max_score_filter(tea2d_noaug,
+                                             cfg.score_filter_2d)
+
+        # fusion Hungarian matching in the clean frame
+        m3d, m2d, mcost = modules.fusion_hungarian_matching(
+            tea3d_filt, tea2d_filt, u_stu["lidar2img"], u_stu["ori_shape"],
+            cost_thr=cfg.cost_thr)
+        logs["metrics.num_tea_hung"] = boxset.num_valid(m3d)
+
+        # to student frame + detach
+        m3d_stu = boxset.detach(
+            modules.transform_3d(m3d, u_stu["aug3d"], reverse=False))
+        m2d_stu = boxset.detach(
+            modules.transform_2d(m2d, u_stu["aug2d"], reverse=False))
+
+        ssl_losses = {}
+
+        # (3D) hard pseudo label: student full train loss on pseudo gt
+        pseudo_gt3d = pseudo_gt_from_boxset(
+            m3d_stu, cfg.pseudo_score_thr_3d, cfg.max_pseudo_gt)
+        u_stu_3d = dict(u_stu, gt_boxes=pseudo_gt3d)
+        out3d_u, pl3d, mut3d_u = self._det3d_train(
+            dict(stu["det3d"], batch_stats=new_stats["det3d"]),
+            u_stu_3d, k3u)
+        new_stats["det3d"] = mut3d_u["batch_stats"]
+        ssl_losses.update({f"hard_pseudo_3d.{k}": v
+                           for k, v in pl3d.items() if k != "loss"})
+
+        # (2D) hard pseudo label: cls-only, weight 4
+        max2d = jnp.max(m2d_stu["scores"], axis=-1)
+        keep2d = m2d_stu["valid"] & (max2d > cfg.pseudo_score_thr_2d)
+        pseudo2d_labels = jnp.argmax(m2d_stu["scores"], axis=-1)
+        fwd2d_u = self.frcnn.apply(stu["det2d"], u_stu["img"],
+                                   u_stu["img_shape"], train=True)
+        pl2d = self.frcnn.apply(
+            stu["det2d"], k2u, fwd2d_u, m2d_stu["boxes"],
+            pseudo2d_labels.astype(jnp.int32), keep2d,
+            method=FasterRCNN.loss)
+        # loss_detach_keys = ['loss_rpn_bbox', 'loss_bbox'] → cls-only
+        ssl_losses["hard_pseudo_2d.loss_rpn_cls"] = (
+            pl2d["loss_rpn_cls"] * cfg.hard_pseudo_2d_weight)
+        ssl_losses["hard_pseudo_2d.loss_cls"] = (
+            pl2d["loss_cls"] * cfg.hard_pseudo_2d_weight)
+
+        # ===== 2D consistency branch =====
+        stu3d = self._det3d_student_boxes(out3d_u)
+        stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
+                                           reverse=True)
+        stu3d_proj = modules.boxes_3d_to_2d(
+            stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
+        stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
+                                           *cfg.proj_nms_2d_cfg)
+        m2d_dtch = boxset.detach(m2d)
+        s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
+            stu3d_proj, m2d_dtch, u_stu["lidar2img"], u_stu["ori_shape"],
+            cost_thr=cfg.cost_thr, project_3d_to_2d=False)
+        logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
+        s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
+                                         reverse=False)
+        t2d_m_aug = modules.transform_2d(
+            boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
+        cw, lw, iw = cfg.consistency_weights
+        cons = modules.hungarian_consistency_loss(
+            s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
+            cls_w=cw, l1_w=lw, iou_w=iw)
+        ssl_losses.update({f"2D_to_3D_hung.{k}": v
+                           for k, v in cons.items()})
+
+        # ===== aggregate =====
+        w = ssl_weight_at(it, cfg)
+        total = sum(sup_losses.values()) + w * sum(ssl_losses.values())
+        logs.update(sup_losses)
+        logs.update({f"ssl.unlab.{k}": v for k, v in ssl_losses.items()})
+        logs["ssl.weight"] = w
+        logs["ssl.ema_decay"] = ema_decay_at(it, cfg)
+        logs["loss"] = total
+        return total, dict(logs=logs, batch_stats=new_stats)

@@ -10,9 +10,14 @@ number replaces it. Later rounds will switch this to SSL train iters/sec
 (BASELINE.json north star).
 """
 import json
+import os
 import time
 
 import jax
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def main():

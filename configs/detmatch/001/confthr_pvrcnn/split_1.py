@@ -1,0 +1,3 @@
+_base_ = "split_0.py"
+
+split = 1

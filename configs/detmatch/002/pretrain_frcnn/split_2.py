@@ -1,0 +1,3 @@
+_base_ = "../../001/pretrain_frcnn/split_2.py"
+
+frac = "002"

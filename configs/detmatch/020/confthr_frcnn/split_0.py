@@ -1,0 +1,3 @@
+_base_ = "../../001/confthr_frcnn/split_0.py"
+
+frac = "020"

@@ -1,0 +1,3 @@
+_base_ = "../../001/confthr_frcnn/split_1.py"
+
+frac = "020"

@@ -1,0 +1,3 @@
+_base_ = "../../001/confthr_pvrcnn/split_0.py"
+
+frac = "020"

@@ -1,0 +1,3 @@
+_base_ = "../../001/detmatch/split_0.py"
+
+frac = "020"

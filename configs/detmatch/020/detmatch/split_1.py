@@ -1,0 +1,3 @@
+_base_ = "../../001/detmatch/split_1.py"
+
+frac = "020"

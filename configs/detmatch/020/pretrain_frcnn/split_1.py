@@ -1,0 +1,3 @@
+_base_ = "../../001/pretrain_frcnn/split_1.py"
+
+frac = "020"

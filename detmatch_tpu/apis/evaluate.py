@@ -1,0 +1,103 @@
+"""Evaluation: run detectors over a val dataset and compute KITTI AP.
+
+Mirrors the reference flow (``apis/test.py`` → ``KittiDataset.evaluate``
+fanout ``kitti_dataset.py:320-372``): for an SSL state the metrics fan out
+over {teacher, student} × {2d, 3d} with prefixed keys.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import geometry
+from ..data import kitti
+from ..data.loader import epoch_batches
+from ..eval.kitti_eval import kitti_eval
+from ..models.frcnn.faster_rcnn import FasterRCNN
+from ..models.pvrcnn.pvrcnn import PVRCNN, post_processing
+from ..ops import voxelize
+
+
+def _gt_annos_from_dataset(ds: kitti.KittiDataset):
+    out = []
+    for info in ds.infos:
+        annos = info["annos"]
+        calib = kitti.calib_from_info(info)
+        boxes, labels, keep = kitti.annos_to_lidar_boxes(annos, calib)
+        n_all = len(annos["name"])
+        boxes_full = np.zeros((n_all, 7), np.float32)
+        boxes_full[:len(boxes)] = boxes  # DontCare rows (excluded) zeroed
+        out.append(dict(name=annos["name"], bbox=annos["bbox"],
+                        occluded=annos["occluded"],
+                        truncated=annos["truncated"], boxes3d=boxes_full))
+    return out
+
+
+def eval_pvrcnn(model: PVRCNN, variables, ds, collate_fn, vox_spec,
+                batch_size=2, max_dets=100):
+    """3D eval: inference + post-processing + AP (bbox from projection)."""
+    jfwd = jax.jit(lambda b: post_processing(
+        model.apply(variables, b, train=False)))
+    det_annos = []
+    for batch_np, true in epoch_batches(ds, batch_size, collate_fn):
+        batch = jax.tree.map(jnp.asarray, batch_np)
+        vox = jax.vmap(lambda p, v: voxelize.voxelize_mean(p, v, vox_spec))(
+            batch["points"], batch["points_valid"])
+        batch = dict(batch, voxel_features=vox["features"],
+                     voxel_keys=vox["keys"])
+        post = jax.device_get(jfwd(batch))
+        for i in range(true):
+            v = post["valid"][i]
+            boxes = post["boxes"][i][v][:max_dets]
+            bb2d, ok = geometry.boxes_3d_to_2d(
+                boxes, batch_np["lidar2img"][i],
+                img_shape=batch_np["ori_shape"][i])
+            det_annos.append(dict(
+                labels=(post["labels"][i][v][:max_dets] - 1
+                        ).astype(np.int32),
+                scores=post["scores"][i][v][:max_dets],
+                bbox=np.asarray(bb2d), boxes3d=boxes))
+    gt_annos = _gt_annos_from_dataset(ds)
+    res = kitti_eval(gt_annos, det_annos, metrics=("bev", "3d"))
+    return res, det_annos
+
+
+def eval_frcnn(model: FasterRCNN, variables, ds, collate_fn,
+               batch_size=2):
+    """2D eval: simple_test + bbox AP."""
+    jfwd = jax.jit(lambda img, shp: model.apply(
+        variables, img, shp, method=FasterRCNN.simple_test))
+    det_annos = []
+    for batch_np, true in epoch_batches(ds, batch_size, collate_fn):
+        res = jax.device_get(jfwd(jnp.asarray(batch_np["img"]),
+                                  jnp.asarray(batch_np["img_shape"])))
+        for i in range(true):
+            v = res["valid"][i]
+            # map boxes back to ori frame via the recorded 2D scale
+            sf = batch_np["aug2d"].scale[i]
+            det_annos.append(dict(
+                labels=res["labels"][i][v].astype(np.int32),
+                scores=res["scores"][i][v],
+                bbox=res["boxes"][i][v] / sf[None],
+                boxes3d=np.zeros((int(v.sum()), 7), np.float32)))
+    gt_annos = _gt_annos_from_dataset(ds)
+    res = kitti_eval(gt_annos, det_annos, metrics=("bbox",))
+    return res, det_annos
+
+
+def eval_ssl(ssl, state, ds, collate_fn, vox_spec, batch_size=2):
+    """SSL fanout: {tea, stu} × {3d, 2d} prefixed metrics
+    (reference ``kitti_dataset.py:320-372``)."""
+    out: Dict[str, float] = {}
+    for branch in ("teacher", "student"):
+        v3 = state[branch]["det3d"]
+        res3, _ = eval_pvrcnn(ssl.pvrcnn, v3, ds, collate_fn, vox_spec,
+                              batch_size)
+        out.update({f"{branch[:3]}.3d.{k}": v for k, v in res3.items()})
+        v2 = state[branch]["det2d"]
+        res2, _ = eval_frcnn(ssl.frcnn, v2, ds, collate_fn, batch_size)
+        out.update({f"{branch[:3]}.2d.{k}": v for k, v in res2.items()})
+    return out

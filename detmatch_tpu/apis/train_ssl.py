@@ -1,0 +1,115 @@
+"""SSL training loop (reference ``apis/ssl_train.py`` +
+``IterBasedSSLRunner``): one labeled + one unlabeled batch per iteration,
+jitted fused step (loss/grads/optimizer/EMA), data-parallel over a mesh,
+iter-based logging/checkpointing, final evaluation fanout.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.loader import Loader
+from ..train import checkpoints
+from ..train.optim import detmatch_ssl_optimizer
+from ..train.ssl_step import make_ssl_train_step
+from ..utils.logging import JsonlLogger
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("data",))
+
+
+def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
+              work_dir, max_iters=5000, batch_size=4, lr_3d=None,
+              lr_2d=None, num_unlabeled=1, log_interval=10,
+              ckpt_interval=5000, seed=0, mesh: Optional[Mesh] = None,
+              resume_from: Optional[str] = None,
+              load_from: Dict[str, str] = None):
+    """Run DetMatch SSL training.
+
+    LR autoscaling follows the reference recipe (``split_0.py:824-827``):
+    lr_3d = 1e-3/2 · bs · (1 + U) · 10, lr_2d = 2e-2/2 · bs · (1 + U).
+    """
+    os.makedirs(work_dir, exist_ok=True)
+    logger = JsonlLogger(os.path.join(work_dir, "log.json"))
+    mesh = mesh or make_mesh()
+    if lr_3d is None:
+        lr_3d = 1e-3 / 2 * batch_size * (1 + num_unlabeled) * 10
+    if lr_2d is None:
+        lr_2d = 2e-2 / 2 * batch_size * (1 + num_unlabeled)
+
+    lab_loader = Loader(lab_dataset, batch_size, collate_fn, seed=seed)
+    unlab_loader = Loader(unlab_dataset, batch_size * num_unlabeled,
+                          collate_fn, seed=seed + 1)
+    lab_iter, unlab_iter = iter(lab_loader), iter(unlab_loader)
+
+    # init from a first batch
+    first = dict(lab=next(lab_iter), unlab=next(unlab_iter))
+    from ..train.ssl_step import voxelize_views
+    key = jax.random.PRNGKey(seed)
+    vfirst = voxelize_views(jax.tree.map(jnp.asarray, first), vox_spec)
+    state = ssl.init_states(key, vfirst["lab"]["stu"],
+                            vfirst["lab"]["stu"]["img"],
+                            vfirst["lab"]["stu"]["img_shape"])
+    student_params = {d: v["params"] for d, v in state["student"].items()}
+    tx = detmatch_ssl_optimizer(student_params, lr_3d, lr_2d)
+    opt_state = tx.init(student_params)
+
+    start_iter = 0
+    if resume_from:
+        step_n = checkpoints.latest_step(resume_from)
+        payload = checkpoints.restore(resume_from, step_n,
+                                      dict(state=state,
+                                           opt_state=opt_state))
+        state, opt_state = payload["state"], payload["opt_state"]
+        start_iter = step_n
+    elif load_from:
+        for det_key, path in load_from.items():
+            step_n = checkpoints.latest_step(path)
+            tmpl = state["student"][det_key]
+            pre = checkpoints.restore(path, step_n, dict(model=tmpl))
+            state = checkpoints.load_pretrained_into_ssl(
+                state, pre["model"], det_key)
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    step_fn = jax.jit(
+        make_ssl_train_step(ssl, tx, vox_spec),
+        in_shardings=(repl, repl, shard, None, None),
+        out_shardings=(repl, repl, repl))
+    state = jax.device_put(state, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    t0 = time.perf_counter()
+    with mesh:
+        for it in range(start_iter, max_iters):
+            batch = dict(lab=next(lab_iter), unlab=next(unlab_iter))
+            batch = jax.device_put(jax.tree.map(jnp.asarray, batch), shard)
+            rng = jax.random.fold_in(key, it)
+            state, opt_state, logs = step_fn(state, opt_state, batch,
+                                             jnp.int32(it), rng)
+            if (it + 1) % log_interval == 0:
+                logs = jax.device_get(logs)
+                dt = time.perf_counter() - t0
+                entry = {k: float(v) for k, v in logs.items()}
+                entry.update(iter=it + 1,
+                             time=dt / log_interval, mode="train")
+                logger.log(entry)
+                t0 = time.perf_counter()
+            if (it + 1) % ckpt_interval == 0 or (it + 1) == max_iters:
+                checkpoints.save(
+                    os.path.join(work_dir, "ckpt"),
+                    dict(state=jax.device_get(state),
+                         opt_state=jax.device_get(opt_state)), it + 1)
+    lab_loader.stop()
+    unlab_loader.stop()
+    return state

@@ -52,6 +52,13 @@ class SSLConfig:
     hard_pseudo_2d_weight: float = 4.0
     consistency_weights: Tuple[float, float, float] = (2.0, 20.0, 2.0)
     max_pseudo_gt: int = 64
+    # pipeline switches: full DetMatch = (True, True, True, True);
+    # ConfThr baselines (reference configs/detmatch/*/confthr_*) disable
+    # fusion and one modality, thresholding teacher boxes directly.
+    enable_3d: bool = True
+    enable_2d: bool = True
+    fusion: bool = True
+    consistency: bool = True
 
 
 def ema_decay_at(it, cfg: SSLConfig):
@@ -191,104 +198,118 @@ class SSLDetector:
         k3, k2, k3u, k2u = jax.random.split(rng, 4)
         logs = {}
         new_stats = {}
+        sup_losses = {}
+        ssl_losses = {}
 
         # ===== labeled: supervised losses (Opd_Supervised_3D /
         # TwoStageSupervised_2D) =====
         lab = batch["lab"]["stu"]
-        out3d, sup3d, mut3d = self._det3d_train(stu["det3d"], lab, k3)
-        new_stats["det3d"] = mut3d["batch_stats"]
-        fwd2d = self.frcnn.apply(stu["det2d"], lab["img"],
-                                 lab["img_shape"], train=True)
-        sup2d = self.frcnn.apply(
-            stu["det2d"], k2, fwd2d, lab["gt_boxes2d"], lab["gt_labels2d"],
-            lab["gt2d_valid"], method=FasterRCNN.loss)
-        sup_losses = {f"sup.3d.{k}": v for k, v in sup3d.items()
-                      if k != "loss"}
-        sup_losses.update({f"sup.2d.{k}": v for k, v in sup2d.items()})
+        if cfg.enable_3d:
+            out3d, sup3d, mut3d = self._det3d_train(stu["det3d"], lab, k3)
+            new_stats["det3d"] = mut3d["batch_stats"]
+            sup_losses.update({f"sup.3d.{k}": v for k, v in sup3d.items()
+                               if k != "loss"})
+        if cfg.enable_2d:
+            fwd2d = self.frcnn.apply(stu["det2d"], lab["img"],
+                                     lab["img_shape"], train=True)
+            sup2d = self.frcnn.apply(
+                stu["det2d"], k2, fwd2d, lab["gt_boxes2d"],
+                lab["gt_labels2d"], lab["gt2d_valid"],
+                method=FasterRCNN.loss)
+            sup_losses.update({f"sup.2d.{k}": v for k, v in sup2d.items()})
 
         # ===== unlabeled pipeline =====
         u_tea = batch["unlab"]["tea"]
         u_stu = batch["unlab"]["stu"]
 
-        # (3D) teacher boxes → de-aug → score filter
-        tea3d = self._det3d_teacher_boxes(tea["det3d"], u_tea)
-        tea3d_noaug = modules.transform_3d(tea3d, u_tea["aug3d"],
-                                           reverse=True)
-        tea3d_filt = boxset.max_score_filter(tea3d_noaug,
-                                             cfg.score_filter_3d)
+        tea3d_noaug = tea2d_noaug = None
+        if cfg.enable_3d:
+            tea3d = self._det3d_teacher_boxes(tea["det3d"], u_tea)
+            tea3d_noaug = modules.transform_3d(tea3d, u_tea["aug3d"],
+                                               reverse=True)
+        if cfg.enable_2d:
+            tea2d = self._det2d_teacher_boxes(tea["det2d"], u_tea,
+                                              cfg.nms_2d_cfg)
+            tea2d_noaug = modules.transform_2d(tea2d, u_tea["aug2d"],
+                                               reverse=True)
 
-        # (2D) teacher boxes → NMS → de-aug → score filter
-        tea2d = self._det2d_teacher_boxes(tea["det2d"], u_tea,
-                                          cfg.nms_2d_cfg)
-        tea2d_noaug = modules.transform_2d(tea2d, u_tea["aug2d"],
-                                           reverse=True)
-        tea2d_filt = boxset.max_score_filter(tea2d_noaug,
-                                             cfg.score_filter_2d)
+        if cfg.fusion:
+            tea3d_filt = boxset.max_score_filter(tea3d_noaug,
+                                                 cfg.score_filter_3d)
+            tea2d_filt = boxset.max_score_filter(tea2d_noaug,
+                                                 cfg.score_filter_2d)
+            m3d, m2d, mcost = modules.fusion_hungarian_matching(
+                tea3d_filt, tea2d_filt, u_stu["lidar2img"],
+                u_stu["ori_shape"], cost_thr=cfg.cost_thr)
+            logs["metrics.num_tea_hung"] = boxset.num_valid(m3d)
+        else:
+            # ConfThr baselines: teacher boxes pass straight through
+            m3d, m2d = tea3d_noaug, tea2d_noaug
 
-        # fusion Hungarian matching in the clean frame
-        m3d, m2d, mcost = modules.fusion_hungarian_matching(
-            tea3d_filt, tea2d_filt, u_stu["lidar2img"], u_stu["ori_shape"],
-            cost_thr=cfg.cost_thr)
-        logs["metrics.num_tea_hung"] = boxset.num_valid(m3d)
+        m3d_stu = m2d_stu = None
+        if cfg.enable_3d:
+            m3d_stu = boxset.detach(
+                modules.transform_3d(m3d, u_stu["aug3d"], reverse=False))
+        if cfg.enable_2d:
+            m2d_stu = boxset.detach(
+                modules.transform_2d(m2d, u_stu["aug2d"], reverse=False))
 
-        # to student frame + detach
-        m3d_stu = boxset.detach(
-            modules.transform_3d(m3d, u_stu["aug3d"], reverse=False))
-        m2d_stu = boxset.detach(
-            modules.transform_2d(m2d, u_stu["aug2d"], reverse=False))
+        out3d_u = None
+        if cfg.enable_3d:
+            # (3D) hard pseudo label: student full train loss on pseudo gt
+            pseudo_gt3d = pseudo_gt_from_boxset(
+                m3d_stu, cfg.pseudo_score_thr_3d, cfg.max_pseudo_gt)
+            u_stu_3d = dict(u_stu, gt_boxes=pseudo_gt3d)
+            out3d_u, pl3d, mut3d_u = self._det3d_train(
+                dict(stu["det3d"], batch_stats=new_stats["det3d"]),
+                u_stu_3d, k3u)
+            new_stats["det3d"] = mut3d_u["batch_stats"]
+            ssl_losses.update({f"hard_pseudo_3d.{k}": v
+                               for k, v in pl3d.items() if k != "loss"})
 
-        ssl_losses = {}
+        if cfg.enable_2d:
+            # (2D) hard pseudo label: cls-only, weight 4
+            max2d = jnp.max(m2d_stu["scores"], axis=-1)
+            keep2d = m2d_stu["valid"] & (max2d > cfg.pseudo_score_thr_2d)
+            pseudo2d_labels = jnp.argmax(m2d_stu["scores"], axis=-1)
+            fwd2d_u = self.frcnn.apply(stu["det2d"], u_stu["img"],
+                                       u_stu["img_shape"], train=True)
+            pl2d = self.frcnn.apply(
+                stu["det2d"], k2u, fwd2d_u, m2d_stu["boxes"],
+                pseudo2d_labels.astype(jnp.int32), keep2d,
+                method=FasterRCNN.loss)
+            # loss_detach_keys = ['loss_rpn_bbox', 'loss_bbox'] → cls-only
+            ssl_losses["hard_pseudo_2d.loss_rpn_cls"] = (
+                pl2d["loss_rpn_cls"] * cfg.hard_pseudo_2d_weight)
+            ssl_losses["hard_pseudo_2d.loss_cls"] = (
+                pl2d["loss_cls"] * cfg.hard_pseudo_2d_weight)
 
-        # (3D) hard pseudo label: student full train loss on pseudo gt
-        pseudo_gt3d = pseudo_gt_from_boxset(
-            m3d_stu, cfg.pseudo_score_thr_3d, cfg.max_pseudo_gt)
-        u_stu_3d = dict(u_stu, gt_boxes=pseudo_gt3d)
-        out3d_u, pl3d, mut3d_u = self._det3d_train(
-            dict(stu["det3d"], batch_stats=new_stats["det3d"]),
-            u_stu_3d, k3u)
-        new_stats["det3d"] = mut3d_u["batch_stats"]
-        ssl_losses.update({f"hard_pseudo_3d.{k}": v
-                           for k, v in pl3d.items() if k != "loss"})
-
-        # (2D) hard pseudo label: cls-only, weight 4
-        max2d = jnp.max(m2d_stu["scores"], axis=-1)
-        keep2d = m2d_stu["valid"] & (max2d > cfg.pseudo_score_thr_2d)
-        pseudo2d_labels = jnp.argmax(m2d_stu["scores"], axis=-1)
-        fwd2d_u = self.frcnn.apply(stu["det2d"], u_stu["img"],
-                                   u_stu["img_shape"], train=True)
-        pl2d = self.frcnn.apply(
-            stu["det2d"], k2u, fwd2d_u, m2d_stu["boxes"],
-            pseudo2d_labels.astype(jnp.int32), keep2d,
-            method=FasterRCNN.loss)
-        # loss_detach_keys = ['loss_rpn_bbox', 'loss_bbox'] → cls-only
-        ssl_losses["hard_pseudo_2d.loss_rpn_cls"] = (
-            pl2d["loss_rpn_cls"] * cfg.hard_pseudo_2d_weight)
-        ssl_losses["hard_pseudo_2d.loss_cls"] = (
-            pl2d["loss_cls"] * cfg.hard_pseudo_2d_weight)
-
-        # ===== 2D consistency branch =====
-        stu3d = self._det3d_student_boxes(out3d_u)
-        stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
-                                           reverse=True)
-        stu3d_proj = modules.boxes_3d_to_2d(
-            stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
-        stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
-                                           *cfg.proj_nms_2d_cfg)
-        m2d_dtch = boxset.detach(m2d)
-        s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
-            stu3d_proj, m2d_dtch, u_stu["lidar2img"], u_stu["ori_shape"],
-            cost_thr=cfg.cost_thr, project_3d_to_2d=False)
-        logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
-        s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
-                                         reverse=False)
-        t2d_m_aug = modules.transform_2d(
-            boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
-        cw, lw, iw = cfg.consistency_weights
-        cons = modules.hungarian_consistency_loss(
-            s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
-            cls_w=cw, l1_w=lw, iou_w=iw)
-        ssl_losses.update({f"2D_to_3D_hung.{k}": v
-                           for k, v in cons.items()})
+        # ===== 2D consistency branch (DetMatch only) =====
+        if cfg.consistency and cfg.fusion and cfg.enable_3d \
+                and cfg.enable_2d:
+            stu3d = self._det3d_student_boxes(out3d_u)
+            stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
+                                               reverse=True)
+            stu3d_proj = modules.boxes_3d_to_2d(
+                stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
+            stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
+                                               *cfg.proj_nms_2d_cfg)
+            m2d_dtch = boxset.detach(m2d)
+            s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
+                stu3d_proj, m2d_dtch, u_stu["lidar2img"],
+                u_stu["ori_shape"], cost_thr=cfg.cost_thr,
+                project_3d_to_2d=False)
+            logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
+            s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
+                                             reverse=False)
+            t2d_m_aug = modules.transform_2d(
+                boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
+            cw, lw, iw = cfg.consistency_weights
+            cons = modules.hungarian_consistency_loss(
+                s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
+                cls_w=cw, l1_w=lw, iou_w=iw)
+            ssl_losses.update({f"2D_to_3D_hung.{k}": v
+                               for k, v in cons.items()})
 
         # ===== aggregate =====
         w = ssl_weight_at(it, cfg)

@@ -1,0 +1,58 @@
+"""Checkpointing via orbax.
+
+Mirrors the reference's semantics (``ssl.py:102-127``,
+``apis/ssl_train.py:157-166``):
+* a PRETRAIN checkpoint (single detector tree) loads into BOTH teacher and
+  student of an SSL state;
+* an SSL checkpoint restores teacher/student separately;
+* ``load_from_with_optimizer`` ("bootstrapped resume") restores model +
+  optimizer but resets the iteration counter.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save(path: str, payload: Dict[str, Any], step: int):
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, f"ckpt_{step}"), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore(path: str, step: int, template: Dict[str, Any]):
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.join(os.path.abspath(path),
+                                      f"ckpt_{step}"), template)
+
+
+def latest_step(path: str) -> Optional[int]:
+    if not os.path.isdir(path):
+        return None
+    steps = []
+    for d in os.listdir(path):
+        if d.startswith("ckpt_"):
+            try:
+                steps.append(int(d.split("_")[1]))
+            except ValueError:
+                pass
+    return max(steps) if steps else None
+
+
+def load_pretrained_into_ssl(ssl_state, pretrain_payload, det_key):
+    """Duplicate a pretrain checkpoint into both branches
+    (reference ``ssl.py:102-127``).
+
+    Args:
+        ssl_state: {'student': {det_key: vars, ...}, 'teacher': ...}
+        pretrain_payload: a single detector's variables dict.
+    """
+    copy = jax.tree.map(lambda x: x, pretrain_payload)
+    out = jax.tree.map(lambda x: x, ssl_state)
+    out["student"][det_key] = pretrain_payload
+    out["teacher"][det_key] = copy
+    return out

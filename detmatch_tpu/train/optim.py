@@ -1,0 +1,127 @@
+"""Optimizers and LR schedules.
+
+HybridOptimizer (reference ``mmdet3d/core/optimizer/hybrid_optimizer.py`` +
+``hybrid_constructor.py``: one optimizer per param-name prefix) maps to
+``optax.multi_transform`` over path labels — the DetMatch recipe
+(``split_0.py:829-852``) is AdamW(lr 4e-2, betas .95/.99, wd .01) for
+student.det3d and SGD(momentum .9, lr .2, wd 1e-4) for student.det2d; the
+teacher is EMA-updated outside the optimizer (its reference 'dummy SGD'
+exists only to satisfy DDP).
+
+Schedules: linear-warmup step LR (SSL / 2D pretrain) and the cyclic
+one-cycle LR + momentum used for 3D pretrain
+(``pretrain_pvrcnn/split_0.py:320-346``).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence, Tuple
+
+import numpy as np
+import jax
+import optax
+
+
+def warmup_step_lr(base_lr, warmup_iters=500, warmup_ratio=0.001,
+                   step_iters=(), gamma=0.1):
+    """mmcv StepLrUpdater with linear warmup."""
+    def fn(it):
+        import jax.numpy as jnp
+        it = jnp.asarray(it, jnp.float32)
+        warm = warmup_ratio + (1 - warmup_ratio) * jnp.minimum(
+            it / max(warmup_iters, 1), 1.0)
+        lr = base_lr * warm
+        for s in step_iters:
+            lr = jnp.where(it >= s, lr * gamma, lr)
+        return lr
+    return fn
+
+
+def cyclic_lr(base_lr, total_iters, target_ratio=(10.0, 1e-4),
+              step_ratio_up=0.4):
+    """mmcv CyclicLrUpdater (one cycle): lr rises base→base*10 over 40% of
+    training, then anneals to base*1e-4 (cosine)."""
+    up = int(total_iters * step_ratio_up)
+
+    def fn(it):
+        import jax.numpy as jnp
+        it = jnp.asarray(it, jnp.float32)
+        up_frac = jnp.clip(it / max(up, 1), 0.0, 1.0)
+        lr_up = base_lr * (1 + (target_ratio[0] - 1) * _cos_anneal(up_frac))
+        down_frac = jnp.clip((it - up) / max(total_iters - up, 1), 0.0, 1.0)
+        lr_down = base_lr * (
+            target_ratio[0] + (target_ratio[1] - target_ratio[0])
+            * _cos_anneal(down_frac))
+        return jnp.where(it < up, lr_up, lr_down)
+    return fn
+
+
+def _cos_anneal(frac):
+    import jax.numpy as jnp
+    return 0.5 * (1.0 - jnp.cos(jnp.pi * frac))
+
+
+def cyclic_momentum(base_m=0.85 / 0.95, total_iters=1,
+                    target_ratio=(0.85 / 0.95, 1.0), step_ratio_up=0.4):
+    """Cyclic momentum mirror (betas ramp 0.95→0.85→0.95)."""
+    up = int(total_iters * step_ratio_up)
+
+    def fn(it):
+        import jax.numpy as jnp
+        it = jnp.asarray(it, jnp.float32)
+        up_frac = jnp.clip(it / max(up, 1), 0.0, 1.0)
+        m_up = 1.0 + (target_ratio[0] - 1.0) * _cos_anneal(up_frac)
+        down_frac = jnp.clip((it - up) / max(total_iters - up, 1), 0.0, 1.0)
+        m_down = target_ratio[0] + (target_ratio[1] - target_ratio[0]) \
+            * _cos_anneal(down_frac)
+        return jnp.where(it < up, m_up, m_down)
+    return fn
+
+
+def adamw(lr_fn, betas=(0.95, 0.99), weight_decay=0.01):
+    return optax.chain(
+        optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(lr_fn),
+    )
+
+
+def sgd_momentum(lr_fn, momentum=0.9, weight_decay=1e-4):
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=False),
+        optax.scale_by_learning_rate(lr_fn),
+    )
+
+
+def hybrid_optimizer(label_fn: Callable, transforms: Dict[str,
+                                                          optax.GradientTransformation],
+                     clip_norm: float = 10.0):
+    """Grad-clip + per-prefix optimizers (HybridOptimizer equivalent).
+
+    Args:
+        label_fn: params-pytree → same-tree of labels in ``transforms``.
+    """
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.multi_transform(transforms, label_fn),
+    )
+
+
+def detmatch_ssl_optimizer(params, lr_3d, lr_2d, max_iters=5000,
+                           clip_norm=10.0):
+    """The DetMatch SSL recipe over a {'det3d':…, 'det2d':…} student tree.
+
+    Reference lrs (``split_0.py:824-852``): lr_3d = 1e-3/2·bs·(1+U)·10,
+    lr_2d = 2e-2/2·bs·(1+U), both with linear warmup (500 iters, ratio 1e-3).
+    """
+    lr3 = warmup_step_lr(lr_3d)
+    lr2 = warmup_step_lr(lr_2d)
+
+    def label_fn(p):
+        return {"det3d": jax.tree.map(lambda _: "adamw", p["det3d"]),
+                "det2d": jax.tree.map(lambda _: "sgd", p["det2d"])}
+
+    return hybrid_optimizer(
+        label_fn,
+        {"adamw": adamw(lr3), "sgd": sgd_momentum(lr2)},
+        clip_norm=clip_norm)

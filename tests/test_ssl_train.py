@@ -1,0 +1,142 @@
+"""End-to-end DetMatch SSL train step on tiny synthetic data (CPU mesh).
+
+Covers: teacher 3D/2D inference, de-aug/re-aug, fusion Hungarian matching,
+hard pseudo-labels (3D full / 2D cls-only), student 3D→2D projection +
+second matching + consistency loss, hybrid optimizer update, EMA teacher.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detmatch_tpu.core.transforms import Aug2D, Aug3D
+from detmatch_tpu.models.frcnn.faster_rcnn import FasterRCNN
+from detmatch_tpu.models.pvrcnn.pvrcnn import PVRCNN
+from detmatch_tpu.ops import voxelize
+from detmatch_tpu.ssl.detector import (SSLConfig, SSLDetector, ema_decay_at,
+                                       ssl_weight_at)
+from detmatch_tpu.train.optim import detmatch_ssl_optimizer
+from detmatch_tpu.train.ssl_step import make_ssl_train_step
+
+PCR = (0.0, -8.0, -3.0, 16.0, 8.0, 1.0)
+CANVAS = (64, 128)
+
+PV_CFG = dict(
+    num_classes=3, point_cloud_range=PCR, voxel_size=(0.5, 0.5, 0.1),
+    grid_size=(32, 32, 40), num_keypoints=32,
+    backbone_caps=(384, 384, 256, 256),
+    train_nms=dict(nms_pre=128, nms_post=24, nms_thresh=0.8),
+    test_nms=dict(nms_pre=128, nms_post=12, nms_thresh=0.7))
+FR_CFG = dict(canvas=CANVAS, train_rpn_nms_pre=96, train_rpn_max=48,
+              test_rpn_nms_pre=96, test_rpn_max=24, rcnn_num_samples=24)
+SPEC = voxelize.VoxelizerSpec(point_cloud_range=PCR,
+                              voxel_size=(0.5, 0.5, 0.1),
+                              max_voxels=384, max_points=5)
+
+
+def _view(rng, b=1, p=256, with_gt=False):
+    pts = np.stack([
+        rng.rand(b, p) * 15 + 0.5, rng.rand(b, p) * 15 - 7.5,
+        rng.rand(b, p) * 3.5 - 2.8, rng.rand(b, p)], axis=-1
+    ).astype(np.float32)
+    view = dict(
+        points=jnp.asarray(pts),
+        points_valid=jnp.ones((b, p), bool),
+        img=jnp.asarray(rng.randn(b, *CANVAS, 3).astype(np.float32)),
+        img_shape=jnp.asarray(np.tile([[CANVAS[0], CANVAS[1]]], (b, 1)
+                                      ).astype(np.float32)),
+        ori_shape=jnp.asarray(np.tile([[375.0, 1242.0]], (b, 1))),
+        lidar2img=jnp.asarray(np.tile(np.array(
+            [[[0, -700, 0, 620 * 10],
+              [0, 0, -700, 180 * 10],
+              [1, 0, 0, 0],
+              [0, 0, 0, 1]]], np.float32), (b, 1, 1))),
+        aug3d=Aug3D(flip_x=jnp.zeros((b,)), rot=jnp.zeros((b,)),
+                    scale=jnp.ones((b,)), trans=jnp.zeros((b, 3))),
+        aug2d=Aug2D(scale=jnp.ones((b, 4)), flip=jnp.zeros((b,)),
+                    img_w=jnp.full((b,), float(CANVAS[1]))),
+    )
+    if with_gt:
+        g = 6
+        gt = np.zeros((b, g, 8), np.float32)
+        gt[:, :3, 0] = rng.rand(b, 3) * 12 + 2
+        gt[:, :3, 1] = rng.rand(b, 3) * 10 - 5
+        gt[:, :3, 2] = -1.0
+        gt[:, :3, 3:6] = [3.9, 1.6, 1.56]
+        gt[:, :3, 6] = rng.rand(b, 3) - 0.5
+        gt[:, :3, 7] = rng.randint(1, 4, (b, 3))
+        view["gt_boxes"] = jnp.asarray(gt)
+        g2 = np.zeros((b, g, 4), np.float32)
+        g2[:, :3, :2] = rng.rand(b, 3, 2) * 60
+        g2[:, :3, 2:] = g2[:, :3, :2] + 20
+        view["gt_boxes2d"] = jnp.asarray(g2)
+        view["gt_labels2d"] = jnp.asarray(
+            rng.randint(0, 3, (b, g)).astype(np.int32))
+        v2 = np.zeros((b, g), bool)
+        v2[:, :3] = True
+        view["gt2d_valid"] = jnp.asarray(v2)
+    return view
+
+
+@pytest.mark.slow
+def test_ssl_train_step_end_to_end():
+    rng = np.random.RandomState(0)
+    batch = dict(
+        lab=dict(stu=_view(rng, with_gt=True), tea=_view(rng)),
+        unlab=dict(stu=_view(rng), tea=_view(rng)),
+    )
+    pv = PVRCNN(**PV_CFG)
+    fr = FasterRCNN(**FR_CFG)
+    ssl = SSLDetector(pv, fr, SSLConfig(max_pseudo_gt=16))
+
+    key = jax.random.PRNGKey(0)
+    from detmatch_tpu.train.ssl_step import voxelize_views
+    vbatch = voxelize_views(batch, SPEC)
+    lab3d = vbatch["lab"]["stu"]
+    state = ssl.init_states(key, lab3d, lab3d["img"], lab3d["img_shape"])
+
+    tx = detmatch_ssl_optimizer(
+        {det: v["params"] for det, v in state["student"].items()},
+        lr_3d=1e-3, lr_2d=1e-3)
+    opt_state = tx.init({det: v["params"]
+                         for det, v in state["student"].items()})
+
+    step = jax.jit(make_ssl_train_step(ssl, tx, SPEC))
+    new_state, new_opt, logs = step(state, opt_state, batch,
+                                    jnp.int32(0), jax.random.PRNGKey(1))
+    logs = jax.device_get(logs)
+    assert np.isfinite(logs["loss"]), logs
+    # all loss channels present and finite
+    for want in ("sup.3d.rpn_loss_cls", "sup.2d.loss_cls",
+                 "ssl.unlab.hard_pseudo_3d.rpn_loss_cls",
+                 "ssl.unlab.hard_pseudo_2d.loss_cls",
+                 "ssl.unlab.2D_to_3D_hung.cls_loss",
+                 "metrics.num_tea_hung"):
+        assert want in logs and np.isfinite(logs[want]), want
+    # student params moved; teacher = EMA mix (moved less)
+    s_old = state["student"]["det3d"]["params"]
+    s_new = new_state["student"]["det3d"]["params"]
+    t_new = new_state["teacher"]["det3d"]["params"]
+    leaf_old = jax.tree_util.tree_leaves(s_old)[0]
+    leaf_new = jax.tree_util.tree_leaves(s_new)[0]
+    leaf_t = jax.tree_util.tree_leaves(t_new)[0]
+    d_student = float(jnp.abs(leaf_new - leaf_old).max())
+    d_teacher = float(jnp.abs(leaf_t - leaf_old).max())
+    assert d_student > 0
+    assert d_teacher <= d_student + 1e-9
+    # EMA decay at iter 0 with rampup_start_decay .99 → 1 - 1/100 = .99
+    np.testing.assert_allclose(float(logs["ssl.ema_decay"]), 0.99,
+                               atol=1e-6)
+    assert float(logs["ssl.weight"]) == 1.0
+
+
+def test_ramp_schedules():
+    cfg = SSLConfig()
+    np.testing.assert_allclose(float(ema_decay_at(0, cfg)), 0.99)
+    np.testing.assert_allclose(float(ema_decay_at(100000, cfg)), 0.999)
+    cfg2 = SSLConfig(ssl_weight_rampup_start_iter=10,
+                     ssl_weight_rampup_num_iter=100)
+    assert float(ssl_weight_at(5, cfg2)) == 0.0
+    assert float(ssl_weight_at(60, cfg2)) < 1.0
+    np.testing.assert_allclose(float(ssl_weight_at(110, cfg2)), 1.0,
+                               atol=1e-6)

@@ -31,11 +31,18 @@ def main():
     for _ in range(3):
         jax.block_until_ready(jfn(*args))
 
+    # chained timing: each iteration's input depends on the previous
+    # output, so async dispatch can't overlap or dedupe executions
+    # (block_until_ready alone under-measures on tunneled backends)
+    import jax.numpy as jnp
     iters = 10
+    batch0 = args[0]
     t0 = time.perf_counter()
+    pts = batch0["points"]
     for _ in range(iters):
-        out = jfn(*args)
-    jax.block_until_ready(out)
+        out = jfn(dict(batch0, points=pts))
+        pts = pts + 0.0 * out["rcnn_cls"].sum()
+    jax.block_until_ready(pts)
     dt = time.perf_counter() - t0
 
     batch = args[0]["points"].shape[0]

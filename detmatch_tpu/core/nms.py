@@ -37,9 +37,16 @@ def _chunked_pairwise(fn, n, chunk):
     return rows.reshape(-1, n)[:n]
 
 
-def iou_matrix_bev(bev, chunk=128):
-    """(N, 5) rotated BEV boxes → (N, N) IoU matrix, chunked rows."""
+def iou_matrix_bev(bev, chunk=None):
+    """(N, 5) rotated BEV boxes → (N, N) IoU matrix, chunked rows.
+
+    Uses the plane-major (structure-of-arrays) overlap kernel
+    (``iou.rotated_overlap_block``); the row chunk bounds the ~96
+    transient (chunk, N) planes of the vertex-sort network.
+    """
     n = bev.shape[0]
+    if chunk is None:
+        chunk = max(8, min(256, (1 << 19) // max(n, 1)))
     corners = geometry.boxes_to_corners_bev(bev)  # (N, 4, 2)
     areas = bev[:, 2] * bev[:, 3]
 
@@ -51,10 +58,7 @@ def iou_matrix_bev(bev, chunk=128):
     def rows(start):
         c1 = jax.lax.dynamic_slice_in_dim(corners_p, start, chunk, 0)
         a1 = jax.lax.dynamic_slice_in_dim(areas_p, start, chunk, 0)
-        inter = jax.vmap(
-            lambda ci: jax.vmap(
-                lambda cj: _overlap_from_corners(ci, cj))(corners)
-        )(c1)  # (chunk, N)
+        inter = iou.rotated_overlap_block(c1, corners)  # (chunk, N)
         return inter / jnp.maximum(a1[:, None] + areas[None, :] - inter,
                                    1e-6)
 
@@ -64,16 +68,6 @@ def iou_matrix_bev(bev, chunk=128):
 def iou_matrix_2d(boxes, chunk=1024):
     """(N, 4) xyxy → (N, N) IoU matrix (cheap; single shot)."""
     return iou.iou2d(boxes, boxes)
-
-
-def _overlap_from_corners(c1, c2):
-    """Intersection area from corner sets (4, 2) each."""
-    ipts, ivalid = iou._segment_intersections(c1, c2)
-    in1 = iou._points_in_quad(c2, c1)
-    in2 = iou._points_in_quad(c1, c2)
-    pts = jnp.concatenate([ipts, c2, c1], axis=0)
-    valid = jnp.concatenate([ivalid, in1, in2], axis=0)
-    return iou._convex_area_from_candidates(pts, valid)
 
 
 def _greedy_from_matrix(iou_mat, scores, iou_thr, max_out):

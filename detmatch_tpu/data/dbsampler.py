@@ -72,22 +72,9 @@ def _boxes_collide(corners_a, corners_b):
     import jax
     import jax.numpy as jnp
     from ..core import iou as iou_mod
-    f = jax.jit(jax.vmap(jax.vmap(
-        lambda c1, c2: iou_mod._convex_area_from_candidates(
-            *_candidates(c1, c2)), (None, 0)), (0, None)))
+    f = jax.jit(iou_mod.rotated_overlap_block)
     areas = np.asarray(f(jnp.asarray(corners_a), jnp.asarray(corners_b)))
     return areas > 1e-6
-
-
-def _candidates(c1, c2):
-    import jax.numpy as jnp
-    from ..core import iou as iou_mod
-    ipts, iv = iou_mod._segment_intersections(c1, c2)
-    in1 = iou_mod._points_in_quad(c2, c1)
-    in2 = iou_mod._points_in_quad(c1, c2)
-    pts = jnp.concatenate([ipts, c2, c1], 0)
-    valid = jnp.concatenate([iv, in1, in2], 0)
-    return pts, valid
 
 
 class DataBaseSampler:

@@ -202,6 +202,9 @@ def eval_class(gt_annos, det_annos, cls, difficulty, metric):
     gt: dict(name, bbox (N,4), occluded, truncated, boxes3d (N,7) internal)
     det: dict(labels (M,), scores, bbox (M,4), boxes3d (M,7))
     """
+    from .. import native
+    lib = native.get_lib()
+
     n_img = len(gt_annos)
     per_img = []
     total_gt = 0
@@ -214,23 +217,34 @@ def eval_class(gt_annos, det_annos, cls, difficulty, metric):
             else (_iou2d_np(det["bbox"], dc, iof=True) if len(dc) else None)
         per_img.append((ov, dc_iof, det["scores"], gt_ign, det_ign))
         total_gt += int((gt_ign == 0).sum())
-        _, _, _, tps = _statistics(ov, None, det["scores"], gt_ign,
-                                   det_ign, MIN_OVERLAP[cls], 0.0, False)
-        all_tp_scores.extend(tps)
+        if lib is not None:
+            all_tp_scores.extend(native.gather_tp_scores(
+                ov, det["scores"], gt_ign, det_ign, MIN_OVERLAP[cls]))
+        else:
+            _, _, _, tps = _statistics(ov, None, det["scores"], gt_ign,
+                                       det_ign, MIN_OVERLAP[cls], 0.0,
+                                       False)
+            all_tp_scores.extend(tps)
     if total_gt == 0:
         return 0.0
     thresholds = get_thresholds(np.array(all_tp_scores), total_gt)
     if len(thresholds) == 0:
         return 0.0
     precision = np.zeros(N_SAMPLE_PTS, np.float64)
-    tps = np.zeros(len(thresholds))
-    fps = np.zeros(len(thresholds))
-    fns = np.zeros(len(thresholds))
+    tps = np.zeros(len(thresholds), np.int64)
+    fps = np.zeros(len(thresholds), np.int64)
+    fns = np.zeros(len(thresholds), np.int64)
     for (ov, dc_iof, scores, gt_ign, det_ign) in per_img:
+        if lib is not None:
+            native.sweep_thresholds(
+                ov, dc_iof if metric == "bbox" else None, scores, gt_ign,
+                det_ign, MIN_OVERLAP[cls],
+                np.asarray(thresholds, np.float32), tps, fps, fns)
+            continue
         for t, thr in enumerate(thresholds):
-            tp, fp, fn, _ = _statistics(ov, dc_iof, scores, gt_ign,
-                                        det_ign, MIN_OVERLAP[cls], thr,
-                                        True)
+            tp, fp, fn, _ = _statistics(
+                ov, dc_iof if metric == "bbox" else None, scores, gt_ign,
+                det_ign, MIN_OVERLAP[cls], thr, True)
             tps[t] += tp
             fps[t] += fp
             fns[t] += fn

@@ -7,7 +7,7 @@ rows, since our sparse tensors are fixed-capacity buffers with padding.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -82,13 +82,17 @@ class MLP(nn.Module):
 
 
 class ConvBNReLU(nn.Module):
-    """Dense 2D conv block (NHWC), torch BatchNorm2d(eps 1e-3, mom 0.01)."""
+    """Dense 2D conv block (NHWC), torch BatchNorm2d(eps 1e-3, mom 0.01).
+
+    ``dtype=bfloat16`` runs the conv on the MXU in bf16 (params stay f32;
+    BN statistics are computed in f32)."""
     features: int
     kernel: int = 3
     stride: int = 1
     padding: int = 1
     use_running_average: bool = False
     transpose: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, use_running_average=None):
@@ -96,13 +100,13 @@ class ConvBNReLU(nn.Module):
             x = nn.ConvTranspose(
                 self.features, (self.kernel, self.kernel),
                 strides=(self.stride, self.stride), padding="SAME",
-                use_bias=False, name="conv")(x)
+                use_bias=False, dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(
                 self.features, (self.kernel, self.kernel),
                 strides=(self.stride, self.stride),
                 padding=[(self.padding, self.padding)] * 2,
-                use_bias=False, name="conv")(x)
+                use_bias=False, dtype=self.dtype, name="conv")(x)
         x = MaskedBatchNorm(
             name="bn", use_running_average=self.use_running_average,
         )(x, use_running_average=use_running_average)

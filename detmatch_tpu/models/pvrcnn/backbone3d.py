@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -33,10 +34,32 @@ class VoxelBackbone8x(nn.Module):
     # capacity of each downsampled level (conv2, conv3, conv4, out)
     caps: Tuple[int, int, int, int] = (24000, 16000, 10000, 10000)
     use_running_average: bool = False
+    # 'auto': fused key-compare MXU kernel on TPU (zero gathers),
+    # XLA lookup+gather elsewhere; 'xla' / 'pallas_key' force a path.
+    conv_impl: str = "auto"
 
-    def _subm(self, name, feats, rulebook, cin, cout, mask, train):
+    def _impl(self):
+        impl = self.conv_impl
+        if impl == "auto":
+            return ("pallas_key" if jax.default_backend() == "tpu"
+                    else "xla")
+        return impl
+
+    def _conv(self, feats, keys, nkeys, w, shape):
+        """Dispatch: fused key kernel vs rulebook lookup + gather."""
+        if self._impl() == "pallas_key":
+            from ...ops.pallas.onehot_key_conv import key_conv_batched
+            band = int(np.prod(shape)) + 1
+            return key_conv_batched(feats, keys, nkeys, w, band)
+        b, n, k = nkeys.shape
+        rb = spconv.lookup_batched(keys, nkeys.reshape(b, n * k)
+                                   ).reshape(b, n, k)
+        return spconv.gather_conv_batched(feats, rb, w)
+
+    def _subm(self, name, feats, keys, nkeys, cin, cout, mask, train,
+              shape):
         w = self.param(name + "_w", KAIMING, (27, cin, cout))
-        out = jax.vmap(spconv.gather_conv, (0, 0, None))(feats, rulebook, w)
+        out = self._conv(feats, keys, nkeys, w, shape)
         out = MaskedBatchNorm(
             name=name + "_bn",
             use_running_average=self.use_running_average,
@@ -51,17 +74,13 @@ class VoxelBackbone8x(nn.Module):
         padding_t = spconv._triple(padding)
         shape_out = spconv.output_spatial_shape(shape_in, kernel, stride_t,
                                                 padding_t)
-        out_keys, count = jax.vmap(
-            spconv.downsample_keys,
-            (0, None, None, None, None, None, None),
-        )(keys, shape_in, shape_out, kernel, stride_t, padding_t, cap)
-        rb = jax.vmap(
-            spconv.build_sparse_rulebook,
-            (0, 0, None, None, None, None, None),
-        )(keys, out_keys, shape_in, shape_out, kernel, stride_t, padding_t)
+        out_keys, count = spconv.downsample_keys_batched(
+            keys, shape_in, shape_out, kernel, stride_t, padding_t, cap)
+        nkeys = spconv.sparse_neighbor_keys(
+            out_keys, shape_in, shape_out, kernel, stride_t, padding_t)
         k_total = kernel[0] * kernel[1] * kernel[2]
         w = self.param(name + "_w", KAIMING, (k_total, cin, cout))
-        out = jax.vmap(spconv.gather_conv, (0, 0, None))(feats, rb, w)
+        out = self._conv(feats, keys, nkeys, w, shape_in)
         mask = out_keys != INVALID_KEY
         out = MaskedBatchNorm(
             name=name + "_bn",
@@ -85,38 +104,41 @@ class VoxelBackbone8x(nn.Module):
         shape1 = self.spatial_shape
         mask1 = voxel_keys != INVALID_KEY
 
-        rb1 = jax.vmap(spconv.build_subm_rulebook, (0, None, None))(
-            voxel_keys, shape1, (3, 3, 3))
-        x = self._subm("conv_input", voxel_features, rb1,
-                       voxel_features.shape[-1], c1, mask1, train)
-        x = self._subm("conv1_0", x, rb1, c1, c1b, mask1, train)
+        nk1 = spconv.subm_neighbor_keys(voxel_keys, shape1, (3, 3, 3))
+        x = self._subm("conv_input", voxel_features, voxel_keys, nk1,
+                       voxel_features.shape[-1], c1, mask1, train, shape1)
+        x = self._subm("conv1_0", x, voxel_keys, nk1, c1, c1b, mask1,
+                       train, shape1)
         x_conv1 = x
 
         x, keys2, n2, mask2, shape2 = self._down(
             "conv2_down", x, voxel_keys, shape1, 3, 2, 1, c1b, c2,
             self.caps[0], mask1, train)
-        rb2 = jax.vmap(spconv.build_subm_rulebook, (0, None, None))(
-            keys2, shape2, (3, 3, 3))
-        x = self._subm("conv2_0", x, rb2, c2, c2, mask2, train)
-        x = self._subm("conv2_1", x, rb2, c2, c2, mask2, train)
+        nk2 = spconv.subm_neighbor_keys(keys2, shape2, (3, 3, 3))
+        x = self._subm("conv2_0", x, keys2, nk2, c2, c2, mask2, train,
+                       shape2)
+        x = self._subm("conv2_1", x, keys2, nk2, c2, c2, mask2, train,
+                       shape2)
         x_conv2 = x
 
         x, keys3, n3, mask3, shape3 = self._down(
             "conv3_down", x, keys2, shape2, 3, 2, 1, c2, c3,
             self.caps[1], mask2, train)
-        rb3 = jax.vmap(spconv.build_subm_rulebook, (0, None, None))(
-            keys3, shape3, (3, 3, 3))
-        x = self._subm("conv3_0", x, rb3, c3, c3, mask3, train)
-        x = self._subm("conv3_1", x, rb3, c3, c3, mask3, train)
+        nk3 = spconv.subm_neighbor_keys(keys3, shape3, (3, 3, 3))
+        x = self._subm("conv3_0", x, keys3, nk3, c3, c3, mask3, train,
+                       shape3)
+        x = self._subm("conv3_1", x, keys3, nk3, c3, c3, mask3, train,
+                       shape3)
         x_conv3 = x
 
         x, keys4, n4, mask4, shape4 = self._down(
             "conv4_down", x, keys3, shape3, 3, 2, (0, 1, 1), c3, c4,
             self.caps[2], mask3, train)
-        rb4 = jax.vmap(spconv.build_subm_rulebook, (0, None, None))(
-            keys4, shape4, (3, 3, 3))
-        x = self._subm("conv4_0", x, rb4, c4, c4, mask4, train)
-        x = self._subm("conv4_1", x, rb4, c4, c4, mask4, train)
+        nk4 = spconv.subm_neighbor_keys(keys4, shape4, (3, 3, 3))
+        x = self._subm("conv4_0", x, keys4, nk4, c4, c4, mask4, train,
+                       shape4)
+        x = self._subm("conv4_1", x, keys4, nk4, c4, c4, mask4, train,
+                       shape4)
         x_conv4 = x
 
         out, keys_out, n_out, mask_out, shape_out = self._down(

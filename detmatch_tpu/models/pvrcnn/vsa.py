@@ -45,8 +45,9 @@ def bilinear_interpolate(im, x, y):
     x1 = jnp.clip(x0 + 1, 0, w - 1)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
     y1 = jnp.clip(y0 + 1, 0, h - 1)
-    Ia, Ib = im[y0, x0], im[y1, x0]
-    Ic, Id = im[y0, x1], im[y1, x1]
+    flat = im.reshape(h * w, -1)
+    Ia, Ib = flat[y0 * w + x0], flat[y1 * w + x0]
+    Ic, Id = flat[y0 * w + x1], flat[y1 * w + x1]
     x0f, x1f = x0.astype(x.dtype), x1.astype(x.dtype)
     y0f, y1f = y0.astype(y.dtype), y1.astype(y.dtype)
     wa = (x1f - x) * (y1f - y)
@@ -55,6 +56,31 @@ def bilinear_interpolate(im, x, y):
     wd = (x - x0f) * (y - y0f)
     return (Ia * wa[:, None] + Ib * wb[:, None] + Ic * wc[:, None]
             + Id * wd[:, None])
+
+
+def bilinear_interpolate_batched(im, x, y):
+    """im: (B, H, W, C); x, y: (B, N) → (B, N, C) via one flat gather."""
+    b, h, w, c = im.shape
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
+    flat = im.reshape(b * h * w, c)
+
+    def g(yy, xx):
+        return flat[(base + yy * w + xx).reshape(-1)].reshape(
+            x.shape + (c,))
+
+    Ia, Ib, Ic, Id = g(y0, x0), g(y1, x0), g(y0, x1), g(y1, x1)
+    x0f, x1f = x0.astype(x.dtype), x1.astype(x.dtype)
+    y0f, y1f = y0.astype(y.dtype), y1.astype(y.dtype)
+    wa = (x1f - x) * (y1f - y)
+    wb = (x1f - x) * (y - y0f)
+    wc = (x - x0f) * (y1f - y)
+    wd = (x - x0f) * (y - y0f)
+    return (Ia * wa[..., None] + Ib * wb[..., None]
+            + Ic * wc[..., None] + Id * wd[..., None])
 
 
 def batched_group(keypoints, kp_valid, xyz, xyz_valid, feats, radius,
@@ -70,11 +96,11 @@ def batched_group(keypoints, kp_valid, xyz, xyz_valid, feats, radius,
     idx, cnt = jax.vmap(
         pointnet.ball_query, (0, 0, 0, 0, None, None)
     )(keypoints, kp_valid, xyz, xyz_valid, radius, nsample)
-    gxyz = jax.vmap(lambda p, i: p[i])(xyz, idx)  # (B, M, ns, 3)
+    gxyz = pointnet.gather_rows(xyz, idx)  # (B, M, ns, 3)
     rel = gxyz - keypoints[:, :, None, :]
     parts = [rel]
     if feats is not None and feats.shape[-1] > 0:
-        parts.append(jax.vmap(lambda f, i: f[i])(feats, idx))
+        parts.append(pointnet.gather_rows(feats, idx))
     grouped = jnp.concatenate(parts, axis=-1)
     slot_valid = (jnp.arange(nsample)[None, None, :] < cnt[..., None])
     grouped = jnp.where(slot_valid[..., None], grouped, 0.0)
@@ -153,8 +179,7 @@ class VoxelSetAbstraction(nn.Module):
         kp_idx = jax.vmap(pointnet.farthest_point_sample,
                           (0, 0, None))(points[..., :3], points_valid,
                                         self.num_keypoints)
-        keypoints = jnp.take_along_axis(
-            points[..., :3], kp_idx[..., None], axis=1)  # (B, M, 3)
+        keypoints = pointnet.gather_rows(points[..., :3], kp_idx)
         kp_valid = jnp.broadcast_to(
             jnp.any(points_valid, axis=1)[:, None],
             (points.shape[0], self.num_keypoints))
@@ -165,7 +190,7 @@ class VoxelSetAbstraction(nn.Module):
         vx, vy = self.voxel_size[0], self.voxel_size[1]
         x_idx = (keypoints[..., 0] - pcr[0]) / vx / 8.0
         y_idx = (keypoints[..., 1] - pcr[1]) / vy / 8.0
-        bev_pt = jax.vmap(bilinear_interpolate)(bev_features, x_idx, y_idx)
+        bev_pt = bilinear_interpolate_batched(bev_features, x_idx, y_idx)
         feats_list.append(bev_pt)
 
         feats_list.append(SABranch(

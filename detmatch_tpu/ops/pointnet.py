@@ -27,6 +27,29 @@ import jax.numpy as jnp
 BIG_DIST = 1e10
 
 
+def gather_rows(x, idx):
+    """Batched row gather, MXU one-hot on TPU / flat gather elsewhere.
+
+    TPU dynamic row gathers run at ~10M rows/s (latency-bound); the
+    pallas one-hot matmul kernel moves the same data at MXU speed.
+
+    Args:
+        x: (B, N, C); idx: (B, ...) int32 row indices into N.
+    Returns:
+        (B, ..., C).
+    """
+    b, n, c = x.shape
+    base = jnp.arange(b, dtype=jnp.int32).reshape(
+        (b,) + (1,) * (idx.ndim - 1)) * n
+    flat = (idx + base).reshape(-1)
+    if jax.default_backend() == "tpu":
+        from .pallas.onehot_rows import onehot_take_rows
+        out = onehot_take_rows(x.reshape(b * n, c), flat)
+    else:
+        out = x.reshape(b * n, c)[flat]
+    return out.reshape(idx.shape + (c,))
+
+
 @partial(jax.jit, static_argnames=("num_samples",))
 def farthest_point_sample(xyz, valid, num_samples):
     """Greedy farthest point sampling.

@@ -75,6 +75,50 @@ def lookup(sorted_keys, queries):
     return jnp.where(found, pos_c, -1)
 
 
+def lookup_batched(sorted_keys, queries, band=None):
+    """Batched lookup via flat offset keys — ONE searchsorted + ONE gather.
+
+    Batched (vmapped) dynamic gathers lower pathologically on TPU
+    (~1000x slower than flat gathers, measured); flattening the batch into
+    the sort dimension with disjoint per-sample offsets keeps everything in
+    the fast single-gather path.
+
+    Args:
+        sorted_keys: (B, N) per-sample sorted, INVALID_KEY padded.
+        queries: (B, Q).
+        band: static per-sample key-space size (prod(spatial_shape) + 2).
+            When B*band < 2^31 the whole lookup runs in int32 (int64 is
+            emulated and slow on TPU); otherwise falls back to int64.
+    Returns:
+        (B, Q) int32 per-sample indices, -1 if absent.
+    """
+    b, n = sorted_keys.shape
+    q = queries.shape[1]
+    if band is not None and b * band < 2 ** 31:
+        dtype = jnp.int32
+        # remap INVALID table keys to band-2 sentinel (> any valid key,
+        # preserves per-sample sortedness, never equals a valid query)
+        keys_local = jnp.where(sorted_keys == INVALID_KEY,
+                               band - 2, sorted_keys)
+        off = (jnp.arange(b, dtype=dtype) * band)[:, None]
+        kf = (keys_local + off).reshape(-1)
+        qf = (jnp.where(queries == INVALID_KEY, band - 1, queries)
+              + off).reshape(-1)
+    else:
+        dtype = jnp.int64
+        off = (jnp.arange(b, dtype=dtype)
+               * (jnp.asarray(INVALID_KEY, dtype) + 1))[:, None]
+        kf = (sorted_keys.astype(dtype) + off).reshape(-1)
+        qf = (queries.astype(dtype) + off).reshape(-1)
+    pos = jnp.searchsorted(kf, qf).astype(jnp.int32)
+    pos_c = jnp.clip(pos, 0, b * n - 1)
+    found = ((kf[pos_c] == qf)
+             & (queries.reshape(-1) != INVALID_KEY)
+             & (pos_c // n == jnp.repeat(jnp.arange(b, dtype=jnp.int32), q)))
+    local = pos_c - (pos_c // n) * n
+    return jnp.where(found, local, -1).reshape(b, q)
+
+
 @partial(jax.jit, static_argnames=("spatial_shape", "kernel_size"))
 def build_subm_rulebook(keys, spatial_shape, kernel_size=(3, 3, 3)):
     """Rulebook for submanifold conv: for each (output==input) voxel and
@@ -159,6 +203,139 @@ def downsample_keys(in_keys, spatial_shape_in, spatial_shape_out,
     out = out.at[scatter_idx].set(skeys, mode="drop")
     count = jnp.minimum(jnp.sum(first.astype(jnp.int32)), out_cap)
     return out, count
+
+
+def subm_neighbor_keys(keys, spatial_shape, kernel_size=(3, 3, 3)):
+    """(B, N) keys → (B, N, K) neighbor keys (INVALID_KEY where out of
+    bounds / padded). Pure elementwise — no gathers."""
+    kernel_size = _triple(kernel_size)
+    offs = _offsets(kernel_size)
+    half = (np.asarray(kernel_size, np.int32) - 1) // 2
+    coords = delinearize(jnp.where(keys == INVALID_KEY, 0, keys),
+                         spatial_shape)  # (B, N, 3)
+    shape = jnp.asarray(spatial_shape, jnp.int32)
+    nc = coords[:, :, None, :] + (jnp.asarray(offs - half))[None, None]
+    inb = jnp.all((nc >= 0) & (nc < shape), axis=-1)
+    inb = inb & (keys != INVALID_KEY)[:, :, None]
+    return jnp.where(inb, linearize(nc, spatial_shape), INVALID_KEY)
+
+
+def sparse_neighbor_keys(out_keys, spatial_shape_in, spatial_shape_out,
+                         kernel_size, stride, padding):
+    """(B, M) output keys → (B, M, K) input-space neighbor keys."""
+    kernel_size = _triple(kernel_size)
+    stride_ = np.asarray(_triple(stride), np.int32)
+    pad_ = np.asarray(_triple(padding), np.int32)
+    offs = _offsets(kernel_size)
+    oc = delinearize(jnp.where(out_keys == INVALID_KEY, 0, out_keys),
+                     spatial_shape_out)
+    shape_in = jnp.asarray(spatial_shape_in, jnp.int32)
+    ic = oc[:, :, None, :] * stride_ - pad_ + offs[None, None]
+    inb = jnp.all((ic >= 0) & (ic < shape_in), axis=-1)
+    inb = inb & (out_keys != INVALID_KEY)[:, :, None]
+    return jnp.where(inb, linearize(ic, spatial_shape_in), INVALID_KEY)
+
+
+def build_subm_rulebook_batched(keys, spatial_shape, kernel_size=(3, 3, 3)):
+    """(B, N) keys → (B, N, K) rulebook via one flat lookup."""
+    nkeys = subm_neighbor_keys(keys, spatial_shape, kernel_size)
+    b, n, k = nkeys.shape
+    band = int(np.prod(spatial_shape)) + 2
+    return lookup_batched(keys, nkeys.reshape(b, n * k),
+                          band=band).reshape(b, n, k)
+
+
+def build_sparse_rulebook_batched(in_keys, out_keys, spatial_shape_in,
+                                  spatial_shape_out, kernel_size, stride,
+                                  padding):
+    """(B, N) in / (B, M) out → (B, M, K) rulebook via one flat lookup."""
+    ikeys = sparse_neighbor_keys(out_keys, spatial_shape_in,
+                                 spatial_shape_out, kernel_size, stride,
+                                 padding)
+    b, m, k = ikeys.shape
+    band = int(np.prod(spatial_shape_in)) + 2
+    return lookup_batched(in_keys, ikeys.reshape(b, m * k),
+                          band=band).reshape(b, m, k)
+
+
+def downsample_keys_batched(in_keys, spatial_shape_in, spatial_shape_out,
+                            kernel_size, stride, padding, out_cap):
+    """(B, N) keys → ((B, out_cap) sorted keys, (B,) counts) with all the
+    sort/unique/scatter work flattened across the batch."""
+    kernel_size = _triple(kernel_size)
+    stride_ = np.asarray(_triple(stride), np.int32)
+    pad_ = np.asarray(_triple(padding), np.int32)
+    offs = _offsets(kernel_size)
+    b, n = in_keys.shape
+    coords = delinearize(jnp.where(in_keys == INVALID_KEY, 0, in_keys),
+                         spatial_shape_in)
+    shape_out = jnp.asarray(spatial_shape_out, jnp.int32)
+    num = coords[:, :, None, :] + pad_ - offs[None, None]
+    exact = (num % stride_) == 0
+    oc = num // stride_
+    ok = (jnp.all(exact & (oc >= 0) & (oc < shape_out), axis=-1)
+          & (in_keys != INVALID_KEY)[:, :, None])
+    okeys = jnp.where(ok, linearize(oc, spatial_shape_out), INVALID_KEY)
+    band_i = int(np.prod(spatial_shape_out)) + 2
+    if b * band_i < 2 ** 31:
+        sentinel = band_i - 1
+        okeys_local = jnp.where(okeys == INVALID_KEY, sentinel, okeys)
+        off = (jnp.arange(b, dtype=jnp.int32) * band_i)[:, None, None]
+        flat = (okeys_local + off).reshape(-1)
+        skeys = jnp.sort(flat)
+        sample = skeys // band_i
+        local = skeys - sample * band_i
+        valid = local != sentinel
+        local = jnp.where(valid, local, INVALID_KEY)
+    else:
+        band = jnp.int64(INVALID_KEY) + 1
+        off64 = (jnp.arange(b, dtype=jnp.int64) * band)[:, None]
+        flat = (okeys.reshape(b, -1).astype(jnp.int64) + off64).reshape(-1)
+        skeys = jnp.sort(flat)
+        sample = (skeys // band).astype(jnp.int32)
+        local = (skeys - sample.astype(jnp.int64) * band).astype(jnp.int32)
+        valid = local != INVALID_KEY
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]) & valid
+    # per-sample running unique index: global cumsum minus the cumsum at
+    # each sample's start
+    cums = jnp.cumsum(first.astype(jnp.int32))
+    # cums at start of each sample's segment:
+    seg_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(
+            jnp.sum(first.reshape(b, -1), axis=1).astype(jnp.int32))])[:-1]
+    idx_in_sample = (cums - 1) - seg_base[sample]
+    out = jnp.full((b * out_cap,), INVALID_KEY, jnp.int32)
+    tgt = jnp.where(first & (idx_in_sample < out_cap),
+                    sample * out_cap + idx_in_sample, b * out_cap)
+    out = out.at[tgt].set(local, mode="drop")
+    counts = jnp.minimum(
+        jnp.sum(first.reshape(b, -1), axis=1), out_cap).astype(jnp.int32)
+    return out.reshape(b, out_cap), counts
+
+
+def gather_conv_batched(feats, rulebook, weights):
+    """Batched gather-GEMM via flat indices (one gather + one GEMM).
+
+    Args:
+        feats: (B, N, Cin); rulebook: (B, M, K); weights: (K, Cin, Cout).
+    Returns:
+        (B, M, Cout).
+    """
+    b, n, cin = feats.shape
+    m, k = rulebook.shape[1], rulebook.shape[2]
+    valid = rulebook >= 0
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
+    idx = jnp.where(valid, rulebook + base, 0).reshape(-1)
+    gathered = feats.reshape(b * n, cin)[idx].reshape(b, m, k, cin)
+    gathered = jnp.where(valid[..., None], gathered, 0.0)
+    out = jax.lax.dot_general(
+        gathered.reshape(b * m, k * cin),
+        weights.reshape(k * cin, -1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, m, -1)
 
 
 def gather_conv(feats, rulebook, weights):

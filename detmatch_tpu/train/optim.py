@@ -107,6 +107,30 @@ def hybrid_optimizer(label_fn: Callable, transforms: Dict[str,
     )
 
 
+def skip_nonfinite(inner: optax.GradientTransformation):
+    """Skip the update when any gradient is non-finite (reference
+    MyOptimizerHook NaN-grad skip, ``core/utils/gradient_cumulative.py:9-31``).
+    """
+    def init(params):
+        return inner.init(params)
+
+    def update(grads, state, params=None, **kw):
+        import jax.numpy as jnp
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g))
+             for g in jax.tree_util.tree_leaves(grads)]))
+        updates, new_state = inner.update(grads, state, params, **kw)
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+        new_state = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o) if hasattr(n, "shape")
+            and n.shape == getattr(o, "shape", None) else n,
+            new_state, state)
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def detmatch_ssl_optimizer(params, lr_3d, lr_2d, max_iters=5000,
                            clip_norm=10.0):
     """The DetMatch SSL recipe over a {'det3d':…, 'det2d':…} student tree.

@@ -127,6 +127,31 @@ def ball_query(centers, centers_valid, points, points_valid, radius,
     return idx, cnt
 
 
+@partial(jax.jit, static_argnames=())
+def three_nn(queries, queries_valid, points, points_valid):
+    """3 nearest neighbors (reference ``pointnet2_stack`` three_nn,
+    ``interpolate_gpu.cu``): per query, the 3 closest valid points.
+
+    Returns (dists (Q, 3), idx (Q, 3) int32).
+    """
+    d2 = jnp.sum((queries[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(points_valid[None, :], d2, BIG_DIST)
+    neg_top, idx = jax.lax.top_k(-d2, 3)
+    dists = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
+    dists = jnp.where(queries_valid[:, None], dists, BIG_DIST)
+    return dists, idx.astype(jnp.int32)
+
+
+def three_interpolate(feats, idx, dists, eps=1e-8):
+    """Inverse-distance-weighted interpolation over 3 neighbors
+    (reference three_interpolate). feats (N, C), idx (Q, 3),
+    dists (Q, 3) → (Q, C)."""
+    w = 1.0 / jnp.maximum(dists * dists, eps)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    gathered = feats[idx]  # (Q, 3, C)
+    return jnp.sum(gathered * w[..., None], axis=1)
+
+
 def group_and_pool(centers, centers_valid, points, points_valid,
                    point_feats, radius, nsample, mlp_fn):
     """QueryAndGroup + shared MLP + masked max-pool (one SA branch).

@@ -236,6 +236,47 @@ def sparse_neighbor_keys(out_keys, spatial_shape_in, spatial_shape_out,
     return jnp.where(inb, linearize(ic, spatial_shape_in), INVALID_KEY)
 
 
+def inverse_neighbor_keys(fine_keys, spatial_shape_fine,
+                          spatial_shape_coarse, kernel_size, stride,
+                          padding):
+    """Neighbor keys for SparseInverseConv (reference spconv
+    ``SparseInverseConv3d``): output positions are the fine-grid positions
+    of the paired strided conv; contributor q of fine position p under tap
+    k satisfies p = q*stride - pad + k, i.e. q = (p + pad - k) / stride
+    (exact divisions only).
+
+    Returns (B, N_fine, K) coarse-grid keys (INVALID_KEY where none).
+    """
+    kernel_size = _triple(kernel_size)
+    stride_ = np.asarray(_triple(stride), np.int32)
+    pad_ = np.asarray(_triple(padding), np.int32)
+    offs = _offsets(kernel_size)
+    pc = delinearize(jnp.where(fine_keys == INVALID_KEY, 0, fine_keys),
+                     spatial_shape_fine)
+    shape_c = jnp.asarray(spatial_shape_coarse, jnp.int32)
+    num = pc[:, :, None, :] + pad_ - offs[None, None]
+    exact = (num % stride_) == 0
+    qc = num // stride_
+    ok = (jnp.all(exact & (qc >= 0) & (qc < shape_c), axis=-1)
+          & (fine_keys != INVALID_KEY)[:, :, None])
+    return jnp.where(ok, linearize(qc, spatial_shape_coarse), INVALID_KEY)
+
+
+def sparse_inverse_conv_batched(coarse_feats, coarse_keys, fine_keys,
+                                spatial_shape_fine, spatial_shape_coarse,
+                                kernel_size, stride, padding, weights):
+    """SparseInverseConv: upsample coarse features back onto the fine key
+    set of the paired strided conv. weights (K, C_coarse, C_out)."""
+    nkeys = inverse_neighbor_keys(fine_keys, spatial_shape_fine,
+                                  spatial_shape_coarse, kernel_size,
+                                  stride, padding)
+    b, n, k = nkeys.shape
+    band = int(np.prod(spatial_shape_coarse)) + 2
+    rb = lookup_batched(coarse_keys, nkeys.reshape(b, n * k),
+                        band=band).reshape(b, n, k)
+    return gather_conv_batched(coarse_feats, rb, weights)
+
+
 def build_subm_rulebook_batched(keys, spatial_shape, kernel_size=(3, 3, 3)):
     """(B, N) keys → (B, N, K) rulebook via one flat lookup."""
     nkeys = subm_neighbor_keys(keys, spatial_shape, kernel_size)

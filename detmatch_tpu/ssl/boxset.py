@@ -50,6 +50,19 @@ def gather(bs, idx, valid):
     return out
 
 
+def average(bs1, bs2):
+    """AverageBboxes_2D (``processors_2d.py:196-241``): element-wise average
+    of two slot-aligned box/score sets (variant configs)."""
+    valid = bs1["valid"] & bs2["valid"]
+    return dict(
+        boxes=jnp.where(valid[..., None],
+                        (bs1["boxes"] + bs2["boxes"]) / 2.0, 0.0),
+        scores=jnp.where(valid[..., None],
+                         (bs1["scores"] + bs2["scores"]) / 2.0, 0.0),
+        valid=valid,
+    )
+
+
 def num_valid(bs):
     """NumPreds metric (``metrics.py:10-24``): mean #boxes per image."""
     return jnp.mean(jnp.sum(bs["valid"].astype(jnp.float32), axis=-1))

@@ -119,11 +119,15 @@ def onehot_take_rows(x, idx):
 
 
 def _vjp_fwd(x, idx):
-    return _gather_fwd(x, idx), (idx, x.shape[0], x.dtype)
+    # zero-width template carries x's static row count + dtype through the
+    # residuals (python ints / dtypes are not valid JAX residual types)
+    template = jnp.zeros((x.shape[0], 0), x.dtype)
+    return _gather_fwd(x, idx), (idx, template)
 
 
 def _vjp_bwd(res, dout):
-    idx, n, dtype = res
+    idx, template = res
+    n, dtype = template.shape[0], template.dtype
     return _scatter_add(dout, idx, n).astype(dtype), None
 
 

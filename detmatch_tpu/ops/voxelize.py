@@ -147,4 +147,7 @@ def voxelize_mean(points, points_valid, spec: VoxelizerSpec):
                          spec.spatial_shape)
     coords = jnp.where((vkeys != INVALID_KEY)[:, None], coords, 0)
     return dict(features=features, coords=coords, keys=vkeys,
-                num_voxels=num_voxels)
+                num_voxels=num_voxels,
+                # grouped per-point view (for pillar/point VFEs):
+                point_feats=sfeat, point_voxel_id=voxel_id,
+                point_contrib=contrib, voxel_counts=cnt)

@@ -78,3 +78,16 @@ def test_boxset_average():
     np.testing.assert_allclose(np.asarray(out["boxes"][0, 0]), 2.0)
     assert not bool(out["valid"][0, 1])
     np.testing.assert_allclose(np.asarray(out["boxes"][0, 1]), 0.0)
+
+
+def test_gather_rows_grad_matches_xla():
+    """Gradient flows through the one-hot row gather (regression: custom
+    VJP residuals once carried non-JAX types and crashed training)."""
+    from detmatch_tpu.ops.pallas.onehot_rows import onehot_take_rows
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(40, 8).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 40, (16,)).astype(np.int32))
+    g = jax.grad(lambda x: jnp.sum(onehot_take_rows(x, idx) ** 2))(x)
+    g2 = jax.grad(lambda x: jnp.sum(x[idx] ** 2))(x)
+    err = float(jnp.abs(g - g2).max() / (jnp.abs(g2).max() + 1e-9))
+    assert err < 0.01, err

@@ -33,7 +33,9 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
               lr_2d=None, num_unlabeled=1, log_interval=10,
               ckpt_interval=5000, seed=0, mesh: Optional[Mesh] = None,
               resume_from: Optional[str] = None,
-              load_from: Dict[str, str] = None):
+              load_from: Dict[str, str] = None,
+              val_dataset=None, val_collate_fn=None, eval_interval=None,
+              profile_dir: Optional[str] = None):
     """Run DetMatch SSL training.
 
     LR autoscaling follows the reference recipe (``split_0.py:824-827``):
@@ -52,14 +54,18 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
                           collate_fn, seed=seed + 1)
     lab_iter, unlab_iter = iter(lab_loader), iter(unlab_loader)
 
-    # init from a first batch
+    # init from a first batch — on CPU: full-size init on the accelerator
+    # costs a throwaway compile of the whole forward (~tens of minutes via
+    # remote-compile tunnels), while CPU init is seconds and the params are
+    # transferred once
     first = dict(lab=next(lab_iter), unlab=next(unlab_iter))
     from ..train.ssl_step import voxelize_views
     key = jax.random.PRNGKey(seed)
-    vfirst = voxelize_views(jax.tree.map(jnp.asarray, first), vox_spec)
-    state = ssl.init_states(key, vfirst["lab"]["stu"],
-                            vfirst["lab"]["stu"]["img"],
-                            vfirst["lab"]["stu"]["img_shape"])
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        vfirst = voxelize_views(jax.tree.map(jnp.asarray, first), vox_spec)
+        state = ssl.init_states(key, vfirst["lab"]["stu"],
+                                vfirst["lab"]["stu"]["img"],
+                                vfirst["lab"]["stu"]["img_shape"])
     student_params = {d: v["params"] for d, v in state["student"].items()}
     tx = detmatch_ssl_optimizer(student_params, lr_3d, lr_2d)
     opt_state = tx.init(student_params)
@@ -92,11 +98,16 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
     t0 = time.perf_counter()
     with mesh:
         for it in range(start_iter, max_iters):
+            if profile_dir and it == start_iter + 12:
+                jax.profiler.start_trace(profile_dir)
             batch = dict(lab=next(lab_iter), unlab=next(unlab_iter))
             batch = jax.device_put(jax.tree.map(jnp.asarray, batch), shard)
             rng = jax.random.fold_in(key, it)
             state, opt_state, logs = step_fn(state, opt_state, batch,
                                              jnp.int32(it), rng)
+            if profile_dir and it == start_iter + 15:
+                jax.block_until_ready(logs)
+                jax.profiler.stop_trace()
             if (it + 1) % log_interval == 0:
                 logs = jax.device_get(logs)
                 dt = time.perf_counter() - t0
@@ -110,6 +121,15 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
                     os.path.join(work_dir, "ckpt"),
                     dict(state=jax.device_get(state),
                          opt_state=jax.device_get(opt_state)), it + 1)
+            if (eval_interval and val_dataset is not None
+                    and ((it + 1) % eval_interval == 0
+                         or (it + 1) == max_iters)):
+                from .evaluate import eval_ssl
+                res = eval_ssl(ssl, jax.device_get(state), val_dataset,
+                               val_collate_fn or collate_fn, vox_spec)
+                entry = dict(res)
+                entry.update(iter=it + 1, mode="val")
+                logger.log(entry)
     lab_loader.stop()
     unlab_loader.stop()
     return state

@@ -133,10 +133,21 @@ class SSLDetector:
     # ---------------- init ----------------
 
     def init_states(self, rng, batch3d, images, img_shapes):
+        """Initialize teacher+student variable trees.
+
+        Uses ``lazy_init`` so no full-size forward is executed/compiled
+        just to create parameters (a cold-start of tens of minutes through
+        remote-compile tunnels otherwise).
+        """
         k1, k2 = jax.random.split(rng)
-        v3 = self.pvrcnn.init({"params": k1, "sampling": k1, "dropout": k1},
-                              batch3d, train=True)
-        v2 = self.frcnn.init({"params": k2}, images, img_shapes, train=True)
+        abstract = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.result_type(x)), t)
+        v3 = self.pvrcnn.lazy_init(
+            {"params": k1, "sampling": k1, "dropout": k1},
+            abstract(batch3d), train=True)
+        v2 = self.frcnn.lazy_init({"params": k2}, abstract(images),
+                                  abstract(img_shapes), train=True)
         student = {"det3d": dict(v3), "det2d": dict(v2)}
         teacher = jax.tree.map(lambda x: x, student)  # copy
         return {"student": student, "teacher": teacher}

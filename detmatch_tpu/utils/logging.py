@@ -19,10 +19,15 @@ class JsonlLogger:
         self._f.flush()
         if self.echo:
             it = entry.get("iter", "?")
-            loss = entry.get("loss", float("nan"))
-            t = entry.get("time", 0.0)
-            print(f"[iter {it}] loss={loss:.4f} "
-                  f"({t:.3f}s/iter)", file=sys.stderr)
+            if entry.get("mode") == "val":
+                n = sum(1 for k in entry if k not in ("iter", "mode"))
+                print(f"[iter {it}] eval: {n} metrics logged",
+                      file=sys.stderr)
+            else:
+                loss = entry.get("loss", float("nan"))
+                t = entry.get("time", 0.0)
+                print(f"[iter {it}] loss={loss:.4f} "
+                      f"({t:.3f}s/iter)", file=sys.stderr)
 
     def close(self):
         self._f.close()

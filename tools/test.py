@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def main():
+    from detmatch_tpu.utils.env import setup_jax
+    setup_jax()
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("checkpoint")

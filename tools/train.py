@@ -31,6 +31,8 @@ def parse_options(pairs):
 
 
 def main():
+    from detmatch_tpu.utils.env import setup_jax
+    setup_jax()
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("--work-dir", default=None)
@@ -60,13 +62,24 @@ def main():
         lab = build.build_dataset(cfg["data"]["train_lab"], rng=rng)
         unlab = build.build_dataset(cfg["data"]["train_unlab"], rng=rng)
         ck = dict(cfg["data"].get("collate", {}))
+        from detmatch_tpu.data.collate import collate_view
+        val = None
+        if cfg["data"].get("val") and cfg.get("evaluation"):
+            val = build.build_dataset(cfg["data"]["val"], rng=rng)
         train_ssl(ssl, vox, lab, unlab,
                   lambda s: collate_ts(s, **ck), work_dir,
                   max_iters=cfg.get("max_iters", 5000),
                   batch_size=cfg.get("batch_size", 4),
                   num_unlabeled=cfg.get("num_unlabeled_samples", 1),
                   seed=args.seed, resume_from=args.resume_from,
-                  load_from=cfg.get("load_from"))
+                  load_from=cfg.get("load_from"),
+                  log_interval=cfg.get("log_interval", 10),
+                  ckpt_interval=cfg.get("ckpt_interval", 5000),
+                  val_dataset=val,
+                  val_collate_fn=lambda s: collate_view(s, **ck),
+                  eval_interval=(cfg.get("evaluation") or {}).get(
+                      "interval"),
+                  profile_dir=cfg.get("profile_dir"))
     elif task == "pretrain_3d":
         from detmatch_tpu.apis.train_pretrain import train_pvrcnn
         from detmatch_tpu.data.collate import collate_view

@@ -17,8 +17,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.loader import Loader
 from ..train import checkpoints
-from ..train.optim import detmatch_ssl_optimizer
-from ..train.ssl_step import make_ssl_train_step
+from ..train.optim import detmatch_branch_optimizers
+from ..train.ssl_step import make_ssl_train_fns_split
 from ..utils.logging import JsonlLogger
 
 
@@ -66,9 +66,10 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
         state = ssl.init_states(key, vfirst["lab"]["stu"],
                                 vfirst["lab"]["stu"]["img"],
                                 vfirst["lab"]["stu"]["img_shape"])
-    student_params = {d: v["params"] for d, v in state["student"].items()}
-    tx = detmatch_ssl_optimizer(student_params, lr_3d, lr_2d)
-    opt_state = tx.init(student_params)
+    tx3d, tx2d = detmatch_branch_optimizers(lr_3d, lr_2d)
+    opt_state = dict(
+        det3d=tx3d.init(state["student"]["det3d"]["params"]),
+        det2d=tx2d.init(state["student"]["det2d"]["params"]))
 
     start_iter = 0
     if resume_from:
@@ -88,10 +89,19 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
-    step_fn = jax.jit(
-        make_ssl_train_step(ssl, tx, vox_spec),
-        in_shardings=(repl, repl, shard, None, None),
-        out_shardings=(repl, repl, repl))
+    teacher_fn, stu3d_fn, stu2d_fn, ema_fn = make_ssl_train_fns_split(
+        ssl, tx3d, tx2d, vox_spec)
+    # each phase is its own modest XLA program (fused SSL steps can exceed
+    # compiler-service memory); outputs keep propagated shardings
+    teacher_jit = jax.jit(teacher_fn, in_shardings=(repl, shard))
+    stu3d_jit = jax.jit(stu3d_fn, in_shardings=(repl, repl, None, None,
+                                                None, None),
+                        out_shardings=(repl, repl, repl))
+    stu2d_jit = jax.jit(stu2d_fn, in_shardings=(repl, repl, None, None,
+                                                None, None),
+                        out_shardings=(repl, repl, repl))
+    ema_jit = jax.jit(ema_fn, in_shardings=(repl, repl, None),
+                      out_shardings=repl)
     state = jax.device_put(state, repl)
     opt_state = jax.device_put(opt_state, repl)
 
@@ -103,8 +113,21 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
             batch = dict(lab=next(lab_iter), unlab=next(unlab_iter))
             batch = jax.device_put(jax.tree.map(jnp.asarray, batch), shard)
             rng = jax.random.fold_in(key, it)
-            state, opt_state, logs = step_fn(state, opt_state, batch,
-                                             jnp.int32(it), rng)
+            r3, r2 = jax.random.split(rng)
+            pseudo, vbatch = teacher_jit(state["teacher"], batch)
+            d3, opt3, logs3 = stu3d_jit(
+                state["student"]["det3d"], opt_state["det3d"], vbatch,
+                pseudo, jnp.int32(it), r3)
+            d2, opt2, logs2 = stu2d_jit(
+                state["student"]["det2d"], opt_state["det2d"], vbatch,
+                pseudo, jnp.int32(it), r2)
+            student = dict(det3d=d3, det2d=d2)
+            teacher = ema_jit(state["teacher"], student, jnp.int32(it))
+            state = dict(student=student, teacher=teacher)
+            opt_state = dict(det3d=opt3, det2d=opt2)
+            logs = dict(logs3)
+            logs.update({k: v for k, v in logs2.items() if k != "loss"})
+            logs["loss"] = logs3["loss"] + logs2["loss"]
             if profile_dir and it == start_iter + 15:
                 jax.block_until_ready(logs)
                 jax.profiler.stop_trace()

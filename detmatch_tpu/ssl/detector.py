@@ -188,7 +188,233 @@ class SSLDetector:
                     scores=res["scores_full"][..., :-1],  # strip bg
                     valid=res["valid"])
 
-    # ---------------- main train loss ----------------
+    # ---------------- staged API (separate jits) ----------------
+    # The monolithic step is a very large XLA program (teacher inference +
+    # two student train passes + grads); some compiler services OOM on it.
+    # The pipeline splits naturally at the stop-gradient boundary: teacher
+    # pseudo-label generation has no grads and compiles separately.
+
+    def teacher_pseudo_labels(self, teacher_state, batch):
+        """Unlabeled-teacher phase → detached pseudo-label BoxSets.
+
+        Returns dict(m3d_stu, m2d_stu, m2d_clean, logs).
+        """
+        cfg = self.cfg
+        tea = jax.tree.map(jax.lax.stop_gradient, teacher_state)
+        u_tea = batch["unlab"]["tea"]
+        u_stu = batch["unlab"]["stu"]
+        logs = {}
+        tea3d_noaug = tea2d_noaug = None
+        if cfg.enable_3d:
+            tea3d = self._det3d_teacher_boxes(tea["det3d"], u_tea)
+            tea3d_noaug = modules.transform_3d(tea3d, u_tea["aug3d"],
+                                               reverse=True)
+        if cfg.enable_2d:
+            tea2d = self._det2d_teacher_boxes(tea["det2d"], u_tea,
+                                              cfg.nms_2d_cfg)
+            tea2d_noaug = modules.transform_2d(tea2d, u_tea["aug2d"],
+                                               reverse=True)
+        if cfg.fusion:
+            tea3d_filt = boxset.max_score_filter(tea3d_noaug,
+                                                 cfg.score_filter_3d)
+            tea2d_filt = boxset.max_score_filter(tea2d_noaug,
+                                                 cfg.score_filter_2d)
+            m3d, m2d, _ = modules.fusion_hungarian_matching(
+                tea3d_filt, tea2d_filt, u_stu["lidar2img"],
+                u_stu["ori_shape"], cost_thr=cfg.cost_thr)
+            logs["metrics.num_tea_hung"] = boxset.num_valid(m3d)
+        else:
+            m3d, m2d = tea3d_noaug, tea2d_noaug
+        out = dict(logs=logs)
+        if cfg.enable_3d:
+            out["m3d_stu"] = boxset.detach(
+                modules.transform_3d(m3d, u_stu["aug3d"], reverse=False))
+        if cfg.enable_2d:
+            out["m2d_stu"] = boxset.detach(
+                modules.transform_2d(m2d, u_stu["aug2d"], reverse=False))
+            out["m2d_clean"] = boxset.detach(m2d)
+        return out
+
+    def student_losses(self, student, batch, pseudo, it, rng):
+        """Supervised + pseudo-label + consistency losses for the student.
+
+        Differentiable w.r.t. ``student``; ``pseudo`` comes from
+        :meth:`teacher_pseudo_labels` (already detached).
+        """
+        cfg = self.cfg
+        stu = student
+        k3, k2, k3u, k2u = jax.random.split(rng, 4)
+        logs = dict(pseudo["logs"]) if "logs" in pseudo else {}
+        new_stats = {}
+        sup_losses = {}
+        ssl_losses = {}
+
+        lab = batch["lab"]["stu"]
+        if cfg.enable_3d:
+            out3d, sup3d, mut3d = self._det3d_train(stu["det3d"], lab, k3)
+            new_stats["det3d"] = mut3d["batch_stats"]
+            sup_losses.update({f"sup.3d.{k}": v for k, v in sup3d.items()
+                               if k != "loss"})
+        if cfg.enable_2d:
+            fwd2d = self.frcnn.apply(stu["det2d"], lab["img"],
+                                     lab["img_shape"], train=True)
+            sup2d = self.frcnn.apply(
+                stu["det2d"], k2, fwd2d, lab["gt_boxes2d"],
+                lab["gt_labels2d"], lab["gt2d_valid"],
+                method=FasterRCNN.loss)
+            sup_losses.update({f"sup.2d.{k}": v for k, v in sup2d.items()})
+
+        u_stu = batch["unlab"]["stu"]
+        out3d_u = None
+        if cfg.enable_3d:
+            pseudo_gt3d = pseudo_gt_from_boxset(
+                pseudo["m3d_stu"], cfg.pseudo_score_thr_3d,
+                cfg.max_pseudo_gt)
+            u_stu_3d = dict(u_stu, gt_boxes=pseudo_gt3d)
+            out3d_u, pl3d, mut3d_u = self._det3d_train(
+                dict(stu["det3d"], batch_stats=new_stats["det3d"]),
+                u_stu_3d, k3u)
+            new_stats["det3d"] = mut3d_u["batch_stats"]
+            ssl_losses.update({f"hard_pseudo_3d.{k}": v
+                               for k, v in pl3d.items() if k != "loss"})
+
+        if cfg.enable_2d:
+            m2d_stu = pseudo["m2d_stu"]
+            max2d = jnp.max(m2d_stu["scores"], axis=-1)
+            keep2d = m2d_stu["valid"] & (max2d > cfg.pseudo_score_thr_2d)
+            pseudo2d_labels = jnp.argmax(m2d_stu["scores"], axis=-1)
+            fwd2d_u = self.frcnn.apply(stu["det2d"], u_stu["img"],
+                                       u_stu["img_shape"], train=True)
+            pl2d = self.frcnn.apply(
+                stu["det2d"], k2u, fwd2d_u, m2d_stu["boxes"],
+                pseudo2d_labels.astype(jnp.int32), keep2d,
+                method=FasterRCNN.loss)
+            ssl_losses["hard_pseudo_2d.loss_rpn_cls"] = (
+                pl2d["loss_rpn_cls"] * cfg.hard_pseudo_2d_weight)
+            ssl_losses["hard_pseudo_2d.loss_cls"] = (
+                pl2d["loss_cls"] * cfg.hard_pseudo_2d_weight)
+
+        if cfg.consistency and cfg.fusion and cfg.enable_3d \
+                and cfg.enable_2d:
+            stu3d = self._det3d_student_boxes(out3d_u)
+            stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
+                                               reverse=True)
+            stu3d_proj = modules.boxes_3d_to_2d(
+                stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
+            stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
+                                               *cfg.proj_nms_2d_cfg)
+            s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
+                stu3d_proj, pseudo["m2d_clean"], u_stu["lidar2img"],
+                u_stu["ori_shape"], cost_thr=cfg.cost_thr,
+                project_3d_to_2d=False)
+            logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
+            s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
+                                             reverse=False)
+            t2d_m_aug = modules.transform_2d(
+                boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
+            cw, lw, iw = cfg.consistency_weights
+            cons = modules.hungarian_consistency_loss(
+                s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
+                cls_w=cw, l1_w=lw, iou_w=iw)
+            ssl_losses.update({f"2D_to_3D_hung.{k}": v
+                               for k, v in cons.items()})
+
+        w = ssl_weight_at(it, cfg)
+        total = sum(sup_losses.values()) + w * sum(ssl_losses.values())
+        logs.update(sup_losses)
+        logs.update({f"ssl.unlab.{k}": v for k, v in ssl_losses.items()})
+        logs["ssl.weight"] = w
+        logs["ssl.ema_decay"] = ema_decay_at(it, cfg)
+        logs["loss"] = total
+        return total, dict(logs=logs, batch_stats=new_stats)
+
+    def student_losses_3d(self, det3d_vars, batch, pseudo, it, rng):
+        """det3d-only losses (sup + hard pseudo + 2D consistency) — the
+        gradient graph w.r.t. det3d params is independent of det2d."""
+        cfg = self.cfg
+        k3, k3u = jax.random.split(rng)
+        logs = {}
+        new_stats = {}
+        lab = batch["lab"]["stu"]
+        out3d, sup3d, mut3d = self._det3d_train(det3d_vars, lab, k3)
+        new_stats["det3d"] = mut3d["batch_stats"]
+        sup_losses = {f"sup.3d.{k}": v for k, v in sup3d.items()
+                      if k != "loss"}
+        ssl_losses = {}
+        u_stu = batch["unlab"]["stu"]
+        pseudo_gt3d = pseudo_gt_from_boxset(
+            pseudo["m3d_stu"], cfg.pseudo_score_thr_3d, cfg.max_pseudo_gt)
+        u_stu_3d = dict(u_stu, gt_boxes=pseudo_gt3d)
+        out3d_u, pl3d, mut3d_u = self._det3d_train(
+            dict(det3d_vars, batch_stats=new_stats["det3d"]), u_stu_3d,
+            k3u)
+        new_stats["det3d"] = mut3d_u["batch_stats"]
+        ssl_losses.update({f"hard_pseudo_3d.{k}": v
+                           for k, v in pl3d.items() if k != "loss"})
+        if cfg.consistency and cfg.fusion and cfg.enable_2d:
+            stu3d = self._det3d_student_boxes(out3d_u)
+            stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
+                                               reverse=True)
+            stu3d_proj = modules.boxes_3d_to_2d(
+                stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
+            stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
+                                               *cfg.proj_nms_2d_cfg)
+            s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
+                stu3d_proj, pseudo["m2d_clean"], u_stu["lidar2img"],
+                u_stu["ori_shape"], cost_thr=cfg.cost_thr,
+                project_3d_to_2d=False)
+            logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
+            s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
+                                             reverse=False)
+            t2d_m_aug = modules.transform_2d(
+                boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
+            cw, lw, iw = cfg.consistency_weights
+            cons = modules.hungarian_consistency_loss(
+                s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
+                cls_w=cw, l1_w=lw, iou_w=iw)
+            ssl_losses.update({f"2D_to_3D_hung.{k}": v
+                               for k, v in cons.items()})
+        w = ssl_weight_at(it, cfg)
+        total = sum(sup_losses.values()) + w * sum(ssl_losses.values())
+        logs.update(sup_losses)
+        logs.update({f"ssl.unlab.{k}": v for k, v in ssl_losses.items()})
+        return total, dict(logs=logs, batch_stats=new_stats)
+
+    def student_losses_2d(self, det2d_vars, batch, pseudo, it, rng):
+        """det2d-only losses (sup + cls-only hard pseudo)."""
+        cfg = self.cfg
+        k2, k2u = jax.random.split(rng)
+        lab = batch["lab"]["stu"]
+        fwd2d = self.frcnn.apply(det2d_vars, lab["img"], lab["img_shape"],
+                                 train=True)
+        sup2d = self.frcnn.apply(
+            det2d_vars, k2, fwd2d, lab["gt_boxes2d"], lab["gt_labels2d"],
+            lab["gt2d_valid"], method=FasterRCNN.loss)
+        sup_losses = {f"sup.2d.{k}": v for k, v in sup2d.items()}
+        u_stu = batch["unlab"]["stu"]
+        m2d_stu = pseudo["m2d_stu"]
+        max2d = jnp.max(m2d_stu["scores"], axis=-1)
+        keep2d = m2d_stu["valid"] & (max2d > cfg.pseudo_score_thr_2d)
+        pseudo2d_labels = jnp.argmax(m2d_stu["scores"], axis=-1)
+        fwd2d_u = self.frcnn.apply(det2d_vars, u_stu["img"],
+                                   u_stu["img_shape"], train=True)
+        pl2d = self.frcnn.apply(
+            det2d_vars, k2u, fwd2d_u, m2d_stu["boxes"],
+            pseudo2d_labels.astype(jnp.int32), keep2d,
+            method=FasterRCNN.loss)
+        ssl_losses = {
+            "hard_pseudo_2d.loss_rpn_cls":
+                pl2d["loss_rpn_cls"] * cfg.hard_pseudo_2d_weight,
+            "hard_pseudo_2d.loss_cls":
+                pl2d["loss_cls"] * cfg.hard_pseudo_2d_weight,
+        }
+        w = ssl_weight_at(it, cfg)
+        total = sum(sup_losses.values()) + w * sum(ssl_losses.values())
+        logs = dict(sup_losses)
+        logs.update({f"ssl.unlab.{k}": v for k, v in ssl_losses.items()})
+        return total, dict(logs=logs)
+
+    # ---------------- main train loss (fused; kept for small configs) ----
 
     def forward_train(self, state, batch, it, rng):
         """Compute total loss + metrics for one SSL iteration.

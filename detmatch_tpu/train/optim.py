@@ -131,6 +131,16 @@ def skip_nonfinite(inner: optax.GradientTransformation):
     return optax.GradientTransformation(init, update)
 
 
+def detmatch_branch_optimizers(lr_3d, lr_2d, clip_norm=10.0):
+    """Per-branch optimizers for the split SSL step: AdamW for det3d,
+    SGD-momentum for det2d (the reference HybridOptimizer's two groups)."""
+    tx3d = optax.chain(optax.clip_by_global_norm(clip_norm),
+                       adamw(warmup_step_lr(lr_3d)))
+    tx2d = optax.chain(optax.clip_by_global_norm(clip_norm),
+                       sgd_momentum(warmup_step_lr(lr_2d)))
+    return tx3d, tx2d
+
+
 def detmatch_ssl_optimizer(params, lr_3d, lr_2d, max_iters=5000,
                            clip_norm=10.0):
     """The DetMatch SSL recipe over a {'det3d':…, 'det2d':…} student tree.

@@ -64,6 +64,92 @@ def make_ssl_train_step(ssl: SSLDetector, tx: optax.GradientTransformation,
     return step
 
 
+def make_ssl_train_fns(ssl: SSLDetector, tx: optax.GradientTransformation,
+                       vox_spec: voxelize.VoxelizerSpec):
+    """Staged step: two separately-jittable functions.
+
+    Very large fused programs (teacher inference + two student train
+    passes + grads) can exceed compiler-service memory; the natural split
+    is the stop-gradient boundary after teacher pseudo-label generation.
+
+        teacher_fn(teacher_state, batch) → (pseudo, vox_batch)
+        student_fn(state, opt_state, vox_batch, pseudo, it, rng)
+            → (state, opt_state, logs)
+    """
+
+    def teacher_fn(teacher_state, batch):
+        batch = voxelize_views(batch, vox_spec)
+        return ssl.teacher_pseudo_labels(teacher_state, batch), batch
+
+    def student_fn(state, opt_state, batch, pseudo, it, rng):
+        def loss_fn(sp):
+            student = _merge_params(state["student"], sp)
+            return ssl.student_losses(student, batch, pseudo, it, rng)
+
+        student_params = _extract_params(state["student"])
+        (total, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(student_params)
+        updates, new_opt = tx.update(grads, opt_state, student_params)
+        new_params = optax.apply_updates(student_params, updates)
+        student = _merge_params(state["student"], new_params)
+        for det, bs in aux["batch_stats"].items():
+            student[det] = dict(student[det], batch_stats=bs)
+        decay = ema_decay_at(it, ssl.cfg)
+        teacher = ema_update(state["teacher"], student, decay,
+                             ssl.cfg.use_student_bn_stats_for_teacher)
+        return dict(student=student, teacher=teacher), new_opt, \
+            aux["logs"]
+
+    return teacher_fn, student_fn
+
+
+def make_ssl_train_fns_split(ssl: SSLDetector, tx3d, tx2d,
+                             vox_spec: voxelize.VoxelizerSpec):
+    """Fully staged step: four separately-jittable functions, each a
+    modest XLA program (for compiler services that OOM on the fused one).
+
+        teacher_fn(teacher_state, batch) → (pseudo, vbatch)
+        stu3d_fn(det3d_vars, opt3d, vbatch, pseudo, it, rng)
+            → (det3d_vars, opt3d, logs)
+        stu2d_fn(det2d_vars, opt2d, vbatch, pseudo, it, rng)
+            → (det2d_vars, opt2d, logs)
+        ema_fn(teacher, student, it) → teacher
+    """
+
+    def teacher_fn(teacher_state, batch):
+        batch = voxelize_views(batch, vox_spec)
+        return ssl.teacher_pseudo_labels(teacher_state, batch), batch
+
+    def _branch_fn(tx, loss_method, stats_key):
+        def fn(variables, opt_state, batch, pseudo, it, rng):
+            def loss_fn(p):
+                v = dict(variables, params=p)
+                return loss_method(v, batch, pseudo, it, rng)
+
+            (total, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(variables["params"])
+            updates, new_opt = tx.update(grads, opt_state,
+                                         variables["params"])
+            new_params = optax.apply_updates(variables["params"], updates)
+            new_vars = dict(variables, params=new_params)
+            if stats_key and stats_key in aux.get("batch_stats", {}):
+                new_vars["batch_stats"] = aux["batch_stats"][stats_key]
+            logs = dict(aux["logs"])
+            logs["loss"] = total
+            return new_vars, new_opt, logs
+        return fn
+
+    stu3d_fn = _branch_fn(tx3d, ssl.student_losses_3d, "det3d")
+    stu2d_fn = _branch_fn(tx2d, ssl.student_losses_2d, None)
+
+    def ema_fn(teacher, student, it):
+        decay = ema_decay_at(it, ssl.cfg)
+        return ema_update(teacher, student, decay,
+                          ssl.cfg.use_student_bn_stats_for_teacher)
+
+    return teacher_fn, stu3d_fn, stu2d_fn, ema_fn
+
+
 def _extract_params(student):
     return {det: v["params"] for det, v in student.items()}
 

@@ -16,7 +16,7 @@ from detmatch_tpu.ops import voxelize
 from detmatch_tpu.ssl.detector import (SSLConfig, SSLDetector, ema_decay_at,
                                        ssl_weight_at)
 from detmatch_tpu.train.optim import detmatch_ssl_optimizer
-from detmatch_tpu.train.ssl_step import make_ssl_train_step
+from detmatch_tpu.train.ssl_step import make_ssl_train_fns
 
 PCR = (0.0, -8.0, -3.0, 16.0, 8.0, 1.0)
 CANVAS = (64, 128)
@@ -101,9 +101,12 @@ def test_ssl_train_step_end_to_end():
     opt_state = tx.init({det: v["params"]
                          for det, v in state["student"].items()})
 
-    step = jax.jit(make_ssl_train_step(ssl, tx, SPEC))
-    new_state, new_opt, logs = step(state, opt_state, batch,
-                                    jnp.int32(0), jax.random.PRNGKey(1))
+    teacher_fn, student_fn = make_ssl_train_fns(ssl, tx, SPEC)
+    teacher_jit = jax.jit(teacher_fn)
+    student_jit = jax.jit(student_fn)
+    pseudo, vb2 = teacher_jit(state["teacher"], batch)
+    new_state, new_opt, logs = student_jit(
+        state, opt_state, vb2, pseudo, jnp.int32(0), jax.random.PRNGKey(1))
     logs = jax.device_get(logs)
     assert np.isfinite(logs["loss"]), logs
     # all loss channels present and finite

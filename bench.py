@@ -28,22 +28,28 @@ def main():
     # compile + warmup
     out = jfn(*args)
     jax.block_until_ready(out)
-    for _ in range(3):
-        jax.block_until_ready(jfn(*args))
 
     # chained timing: each iteration's input depends on the previous
     # output, so async dispatch can't overlap or dedupe executions
-    # (block_until_ready alone under-measures on tunneled backends)
+    # (block_until_ready alone under-measures on tunneled backends).
+    # The first chain after a compile runs ~10-20x slow on tunneled
+    # backends (device-side warmup); run chains until timing settles
+    # and report the best.
     import jax.numpy as jnp
     iters = 10
     batch0 = args[0]
-    t0 = time.perf_counter()
     pts = batch0["points"]
-    for _ in range(iters):
-        out = jfn(dict(batch0, points=pts))
-        pts = pts + 0.0 * out["rcnn_cls"].sum()
-    jax.block_until_ready(pts)
-    dt = time.perf_counter() - t0
+    dt = None
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jfn(dict(batch0, points=pts))
+            pts = pts + 0.0 * out["rcnn_cls"].sum()
+        jax.block_until_ready(pts)
+        d = time.perf_counter() - t0
+        dt = d if dt is None else min(dt, d)
+        if dt < d * 1.2 and dt is not d:
+            break
 
     batch = args[0]["points"].shape[0]
     fps = batch * iters / dt

@@ -73,6 +73,48 @@ def flatten_anchors(anchors):
     return anchors.transpose(1, 2, 0, 3, 4).reshape(h * w * c * r, 7)
 
 
+def flat_anchors_traced(point_cloud_range, grid_size, anchor_configs):
+    """Traced (iota/broadcast) version of generate_anchors+flatten.
+
+    Anchor grids are pure functions of static config; building them with
+    numpy at trace time embeds them as multi-MB dense literals in the XLA
+    program (the (A, 7) grid alone is ~12 MB, and it appears once per
+    fwd/bwd instance). Building them from jnp.arange keeps the program a
+    handful of ops; XLA folds them at compile time anyway.
+    """
+    pcr = np.asarray(point_cloud_range, np.float32)
+    strides = {cfg.get("feature_map_stride", 8) for cfg in anchor_configs}
+    assert len(strides) == 1, "traced anchors assume a uniform stride"
+    stride = strides.pop()
+    nx = int(grid_size[0] // stride)
+    ny = int(grid_size[1] // stride)
+    c = len(anchor_configs)
+    rots = anchor_configs[0]["anchor_rotations"]
+    assert all(tuple(cfg["anchor_rotations"]) == tuple(rots)
+               for cfg in anchor_configs)
+    r = len(rots)
+    xs = pcr[0] + jnp.arange(nx, dtype=jnp.float32) * (
+        (pcr[3] - pcr[0]) / (nx - 1))
+    ys = pcr[1] + jnp.arange(ny, dtype=jnp.float32) * (
+        (pcr[4] - pcr[1]) / (ny - 1))
+    sizes = np.asarray([cfg["anchor_sizes"][0] for cfg in anchor_configs],
+                       np.float32)  # (C, 3)
+    zc = np.asarray([cfg["anchor_bottom_heights"][0] + s[2] / 2.0
+                     for cfg, s in zip(anchor_configs, sizes)], np.float32)
+    shp = (ny, nx, c, r)
+    cols = [
+        jnp.broadcast_to(xs[None, :, None, None], shp),
+        jnp.broadcast_to(ys[:, None, None, None], shp),
+        jnp.broadcast_to(jnp.asarray(zc)[None, None, :, None], shp),
+        jnp.broadcast_to(jnp.asarray(sizes[:, 0])[None, None, :, None], shp),
+        jnp.broadcast_to(jnp.asarray(sizes[:, 1])[None, None, :, None], shp),
+        jnp.broadcast_to(jnp.asarray(sizes[:, 2])[None, None, :, None], shp),
+        jnp.broadcast_to(jnp.asarray(np.asarray(rots, np.float32))
+                         [None, None, None, :], shp),
+    ]
+    return jnp.stack(cols, axis=-1).reshape(ny * nx * c * r, 7)
+
+
 def assign_targets(anchors_flat, per_anchor_class, gt_boxes, match_thr,
                    unmatch_thr, coder: ResidualCoder):
     """Vectorized axis-aligned target assignment for one sample.
@@ -126,17 +168,9 @@ class AnchorHeadSingle(nn.Module):
     def setup(self):
         anchors = generate_anchors(self.point_cloud_range, self.grid_size,
                                    list(self.anchor_configs))
-        self._anchors_flat = flatten_anchors(anchors)  # (A, 7)
         c, h, w, r, _ = anchors.shape
-        pac = np.tile(np.repeat(np.arange(c, dtype=np.int32), r),
-                      (h * w,))  # (A,) class per anchor, (H W) major
-        self._per_anchor_class = pac
-        self._match_thr = np.array(
-            [cfg["matched_threshold"] for cfg in self.anchor_configs],
-            np.float32)[pac]
-        self._unmatch_thr = np.array(
-            [cfg["unmatched_threshold"] for cfg in self.anchor_configs],
-            np.float32)[pac]
+        self._num_anchors = c * h * w * r
+        self._num_rot_cfg = r
         self.coder = ResidualCoder()
         na = c * r  # anchors per location
         self.conv_cls = nn.Conv(
@@ -158,12 +192,23 @@ class AnchorHeadSingle(nn.Module):
         dirp = self.conv_dir(bev_features).reshape(b, -1, self.num_dir_bins)
         return dict(cls_preds=cls, box_preds=box, dir_preds=dirp)
 
+    def _anchors(self):
+        """(A, 7) anchors built in-trace (never a baked dense literal)."""
+        return flat_anchors_traced(self.point_cloud_range, self.grid_size,
+                                   list(self.anchor_configs))
+
     def targets(self, gt_boxes):
         """gt_boxes: (B, M, 8) → per-anchor targets (vmapped assigner)."""
-        anchors = jnp.asarray(self._anchors_flat)
-        pac = jnp.asarray(self._per_anchor_class)
-        mt = jnp.asarray(self._match_thr)
-        ut = jnp.asarray(self._unmatch_thr)
+        anchors = self._anchors()
+        # flat (H, W, C, R) order → class id = (a // R) % C
+        pac = (jnp.arange(self._num_anchors, dtype=jnp.int32)
+               // self._num_rot_cfg) % len(self.anchor_configs)
+        mt = jnp.asarray(np.array(
+            [cfg["matched_threshold"] for cfg in self.anchor_configs],
+            np.float32))[pac]
+        ut = jnp.asarray(np.array(
+            [cfg["unmatched_threshold"] for cfg in self.anchor_configs],
+            np.float32))[pac]
         return jax.vmap(
             lambda gb: assign_targets(anchors, pac, gb, mt, ut, self.coder)
         )(gt_boxes)
@@ -198,7 +243,7 @@ class AnchorHeadSingle(nn.Module):
             bp_sin, rt_sin, weights=reg_w,
             code_weights=lw["code_weights"])) / b * lw["loc_weight"]
 
-        anchors = jnp.asarray(self._anchors_flat)
+        anchors = self._anchors()
         rot_gt = reg_targets[..., 6] + anchors[None, :, 6]
         offset_rot = geometry.limit_period(
             rot_gt - self.dir_offset, 0, 2 * np.pi)
@@ -216,7 +261,7 @@ class AnchorHeadSingle(nn.Module):
         """generate_predicted_boxes: decode all anchors + dir snap.
 
         Returns (batch_box_preds (B, A, 7), batch_cls_preds (B, A, C))."""
-        anchors = jnp.asarray(self._anchors_flat)[None]
+        anchors = self._anchors()[None]
         boxes = self.coder.decode(preds["box_preds"], anchors)
         dir_labels = jnp.argmax(preds["dir_preds"], axis=-1)
         period = 2 * np.pi / self.num_dir_bins

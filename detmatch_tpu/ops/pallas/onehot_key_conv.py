@@ -44,28 +44,40 @@ def _interpret():
 
 
 def _fwd_kernel(nk_ref, keys_ref, feats_ref, w_ref, out_ref, *, n_tile):
-    """nk (Tm, K) neighbor keys; keys (1, N); feats (N, C); w (K, C, Co)."""
-    tm, k_taps = nk_ref.shape
+    """One (out-tile, tap) grid cell; taps accumulate into the revisited
+    out block (grid iterates taps fastest → the block stays in VMEM).
+    Keeping kernel bodies small (≤ ~40 matmuls) matters: some Mosaic
+    compilers crash on bodies with hundreds of unrolled matmuls.
+
+    nk block (K, Tm) from the transposed (K, M) neighbor keys; the tap
+    row is extracted with an iota-select reduction — Mosaic lowers
+    neither dynamic lane loads nor (1, ·) sublane blocks; keys (1, N);
+    feats (N, C); w block (1, C, Co).
+    """
+    tm = nk_ref.shape[1]
     n = keys_ref.shape[1]
-    co = w_ref.shape[-1]
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
     nk = nk_ref[:]
-    acc = jnp.zeros((tm, co), jnp.float32)
-    for k in range(k_taps):
-        q = nk[:, k]
-        g = jnp.zeros((tm, w_ref.shape[1]), jnp.float32)
-        for nt in range(n // n_tile):
-            key_tile = keys_ref[0, nt * n_tile:(nt + 1) * n_tile]
-            f_tile = feats_ref[nt * n_tile:(nt + 1) * n_tile, :]
-            onehot = (q[:, None] == key_tile[None, :]).astype(jnp.bfloat16)
-            g = g + jax.lax.dot_general(
-                onehot, f_tile,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            g.astype(jnp.bfloat16), w_ref[k].astype(jnp.bfloat16),
+    row = jax.lax.broadcasted_iota(jnp.int32, nk.shape, 0)
+    q = jnp.sum(jnp.where(row == k, nk, 0), axis=0)
+    g = jnp.zeros((tm, feats_ref.shape[1]), jnp.float32)
+    for nt in range(n // n_tile):
+        key_tile = keys_ref[0, nt * n_tile:(nt + 1) * n_tile]
+        f_tile = feats_ref[nt * n_tile:(nt + 1) * n_tile, :]
+        onehot = (q[:, None] == key_tile[None, :]).astype(jnp.bfloat16)
+        g = g + jax.lax.dot_general(
+            onehot, f_tile,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+    out_ref[:] += jax.lax.dot_general(
+        g.astype(jnp.bfloat16), w_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("m_tile", "n_tile"))
@@ -80,22 +92,24 @@ def _key_conv_fwd(feats, keys, nkeys, weights, m_tile=256, n_tile=512):
     keys_clean = jnp.where(keys == INVALID_KEY, _PAD_TABLE, keys)
     keys_p = jnp.full((1, n_pad), _PAD_TABLE, jnp.int32).at[0, :n].set(
         keys_clean)
-    nk_p = jnp.full((m_pad, k), INVALID_KEY, jnp.int32).at[:m].set(nkeys)
+    nk_p = jnp.full((k, m_pad), INVALID_KEY, jnp.int32).at[:, :m].set(
+        nkeys.T)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, n_tile=n_tile),
-        grid=(m_pad // m_tile,),
+        grid=(m_pad // m_tile, k),
         in_specs=[
-            pl.BlockSpec((m_tile, k), lambda i: (i, 0),
+            pl.BlockSpec((k, m_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((1, n_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, c), lambda i: (0, 0),
+            pl.BlockSpec((n_pad, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(weights.shape, lambda i: (0, 0, 0),
+            pl.BlockSpec((1,) + weights.shape[1:], lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m_tile, weights.shape[-1]),
-                               lambda i: (i, 0), memory_space=pltpu.VMEM),
+                               lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, weights.shape[-1]),
                                        jnp.float32),
         interpret=_interpret(),
@@ -104,25 +118,31 @@ def _key_conv_fwd(feats, keys, nkeys, weights, m_tile=256, n_tile=512):
 
 
 def _scatter_kernel(nk_ref, keys_ref, dout_ref, s_ref, *, m_tile_inner):
-    """S[k, n] = Σ_m 1[nkey[m,k] == key[n]] dOut[m] for this key tile.
+    """S[k, n] = Σ_m 1[nkey[m,k] == key[n]] dOut[m] for one (key-tile, tap)
+    grid cell. The tap loop lives in the GRID, not the body: large unrolled
+    kernel bodies (hundreds of matmuls) crash some Mosaic compilers.
 
-    nk (M, K); keys block (1, Tn); dout (M, Co); out (K, Tn, Co).
+    nk block (K, M) = the transposed keys (full); the tap row is
+    extracted via iota-select (dynamic sublane/lane loads don't lower);
+    keys block (1, Tn); dout (M, Co); out block (1, Tn, Co).
     """
-    k_taps, tn, co = s_ref.shape
-    m = nk_ref.shape[0]
+    tn = s_ref.shape[1]
+    co = s_ref.shape[2]
+    m = nk_ref.shape[1]
+    k = pl.program_id(0)
     key_tile = keys_ref[0, :]
-    for k in range(k_taps):
-        acc = jnp.zeros((tn, co), jnp.float32)
-        for mt in range(m // m_tile_inner):
-            q = nk_ref[pl.ds(mt * m_tile_inner, m_tile_inner), k]
-            dvals = dout_ref[pl.ds(mt * m_tile_inner, m_tile_inner), :]
-            onehot_t = (key_tile[:, None] == q[None, :]).astype(
-                jnp.bfloat16)
-            acc = acc + jax.lax.dot_general(
-                onehot_t, dvals,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        s_ref[k] = acc
+    acc = jnp.zeros((tn, co), jnp.float32)
+    for mt in range(m // m_tile_inner):
+        nk = nk_ref[:, pl.ds(mt * m_tile_inner, m_tile_inner)]
+        row = jax.lax.broadcasted_iota(jnp.int32, nk.shape, 0)
+        q = jnp.sum(jnp.where(row == k, nk, 0), axis=0)
+        dvals = dout_ref[pl.ds(mt * m_tile_inner, m_tile_inner), :]
+        onehot_t = (key_tile[:, None] == q[None, :]).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            onehot_t, dvals,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    s_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("n_total", "n_tile",
@@ -136,21 +156,22 @@ def _key_scatter_all_taps(dout, keys, nkeys, n_total, n_tile=256,
     keys_clean = jnp.where(keys == INVALID_KEY, _PAD_TABLE, keys)
     keys_p = jnp.full((1, n_pad), _PAD_TABLE, jnp.int32).at[0, :n_total
                                                             ].set(keys_clean)
-    nk_p = jnp.full((m_pad, k), INVALID_KEY, jnp.int32).at[:m].set(nkeys)
+    nk_p = jnp.full((k, m_pad), INVALID_KEY, jnp.int32).at[:, :m].set(
+        nkeys.T)
     dout_p = jnp.zeros((m_pad, co), jnp.bfloat16).at[:m].set(
         dout.astype(jnp.bfloat16))
     s = pl.pallas_call(
         functools.partial(_scatter_kernel, m_tile_inner=m_tile),
-        grid=(n_pad // n_tile,),
+        grid=(k, n_pad // n_tile),
         in_specs=[
-            pl.BlockSpec((m_pad, k), lambda i: (0, 0),
+            pl.BlockSpec((k, m_pad), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tile), lambda i: (0, i),
+            pl.BlockSpec((1, n_tile), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, co), lambda i: (0, 0),
+            pl.BlockSpec((m_pad, co), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k, n_tile, co), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((1, n_tile, co), lambda j, i: (j, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, n_pad, co), jnp.float32),
         interpret=_interpret(),

@@ -76,6 +76,57 @@ class ResidualCoder:
         return out
 
 
+class PointResidualCoder:
+    """Point-anchored 8-code coder (reference
+    ``pcdet/utils/box_coder_utils.py:144-230``): offsets normalized by
+    per-class mean sizes, log-dims, cos/sin heading. Used by PointHeadBox
+    (PointRCNN)."""
+
+    def __init__(self, mean_size=((3.9, 1.6, 1.56), (0.8, 0.6, 1.73),
+                                  (1.76, 0.6, 1.73)), use_mean_size=True):
+        self.code_size = 8
+        self.use_mean_size = use_mean_size
+        self.mean_size = np.asarray(mean_size, np.float32)
+
+    def _anchor_dims(self, classes):
+        """classes: (...,) int 1-based → (..., 3) mean sizes."""
+        ms = jnp.asarray(self.mean_size)
+        return ms[jnp.clip(classes - 1, 0, ms.shape[0] - 1)]
+
+    def encode(self, gt_boxes, points, gt_classes=None):
+        """gt_boxes (..., 7), points (..., 3) → (..., 8)."""
+        dims = jnp.maximum(gt_boxes[..., 3:6], 1e-5)
+        if self.use_mean_size:
+            a = self._anchor_dims(gt_classes)
+        else:
+            a = jnp.ones_like(dims)
+        diag = jnp.sqrt(a[..., 0] ** 2 + a[..., 1] ** 2)
+        xt = (gt_boxes[..., 0] - points[..., 0]) / diag
+        yt = (gt_boxes[..., 1] - points[..., 1]) / diag
+        zt = (gt_boxes[..., 2] - points[..., 2]) / a[..., 2]
+        dxt = jnp.log(dims[..., 0] / a[..., 0])
+        dyt = jnp.log(dims[..., 1] / a[..., 1])
+        dzt = jnp.log(dims[..., 2] / a[..., 2])
+        return jnp.stack([xt, yt, zt, dxt, dyt, dzt,
+                          jnp.cos(gt_boxes[..., 6]),
+                          jnp.sin(gt_boxes[..., 6])], axis=-1)
+
+    def decode(self, encodings, points, pred_classes=None):
+        """encodings (..., 8), points (..., 3) → (..., 7)."""
+        if self.use_mean_size:
+            a = self._anchor_dims(pred_classes)
+        else:
+            a = jnp.ones(encodings.shape[:-1] + (3,), encodings.dtype)
+        diag = jnp.sqrt(a[..., 0] ** 2 + a[..., 1] ** 2)
+        xg = encodings[..., 0] * diag + points[..., 0]
+        yg = encodings[..., 1] * diag + points[..., 1]
+        zg = encodings[..., 2] * a[..., 2] + points[..., 2]
+        dims = jnp.exp(encodings[..., 3:6]) * a
+        rg = jnp.arctan2(encodings[..., 7], encodings[..., 6])
+        return jnp.concatenate(
+            [jnp.stack([xg, yg, zg], -1), dims, rg[..., None]], axis=-1)
+
+
 class DeltaXYWHCoder:
     """mmdet-style 2D delta coder (xyxy boxes ↔ (dx, dy, dw, dh) deltas)."""
 

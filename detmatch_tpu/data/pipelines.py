@@ -300,6 +300,66 @@ class PhotoMetricAugs:
         return results
 
 
+class MultiScaleFlipAug3D:
+    """Test-time augmentation fan-out (reference
+    ``datasets/pipelines/test_time_aug.py:10-119``): applies the wrapped
+    transforms once per (img_scale x pts_scale x flip x pcd flips)
+    combination and returns a LIST of results dicts. The DetMatch test
+    pipeline uses a single scale and no flips, in which case this is a
+    one-element wrapper.
+    """
+
+    def __init__(self, transforms, img_scale=(1280, 384),
+                 pts_scale_ratio=1.0, flip=False,
+                 flip_direction="horizontal", pcd_horizontal_flip=False,
+                 pcd_vertical_flip=False):
+        self.transforms = Compose(transforms)
+        self.img_scales = (img_scale if isinstance(img_scale, list)
+                           else [img_scale])
+        self.pts_scale_ratios = (
+            pts_scale_ratio if isinstance(pts_scale_ratio, list)
+            else [float(pts_scale_ratio)])
+        self.flip = flip
+        self.flip_directions = (flip_direction
+                                if isinstance(flip_direction, list)
+                                else [flip_direction])
+        self.pcd_horizontal_flip = pcd_horizontal_flip
+        self.pcd_vertical_flip = pcd_vertical_flip
+
+    def __call__(self, results):
+        outs = []
+        flip_args = [(False, False)]
+        if self.flip:
+            if self.pcd_horizontal_flip:
+                flip_args.append((True, False))
+            if self.pcd_vertical_flip:
+                flip_args.append((False, True))
+            if self.pcd_horizontal_flip and self.pcd_vertical_flip:
+                flip_args.append((True, True))
+        for scale in self.img_scales:
+            for ratio in self.pts_scale_ratios:
+                for hflip, vflip in flip_args:
+                    r = copy.deepcopy(results)
+                    r["tta_img_scale"] = scale
+                    if ratio != 1.0:
+                        pts = r["points"]
+                        r["points"] = np.concatenate(
+                            [pts[:, :3] * ratio, pts[:, 3:]], axis=1)
+                    if hflip:
+                        r["points"] = np.asarray(
+                            geometry.flip_points(r["points"], axis="x"))
+                    if vflip:
+                        r["points"] = np.asarray(
+                            geometry.flip_points(r["points"], axis="y"))
+                    r["pcd_horizontal_flip"] = hflip
+                    r["pcd_vertical_flip"] = vflip
+                    r["pcd_scale_factor"] = np.float32(ratio)
+                    out = self.transforms(r)
+                    if out is not None:
+                        outs.append(out)
+        return outs
+
+
 def build_aug_records(results):
     """Extract the recorded augs into batched-friendly numpy records."""
     rec3d = dict(

@@ -200,6 +200,83 @@ def roi_grid_points(rois, grid_size):
     return glob.reshape(b, -1, 3)
 
 
+def default_target_cfg():
+    return dict(roi_per_image=128, fg_ratio=0.5, reg_fg_thresh=0.55,
+                cls_fg_thresh=0.75, cls_bg_thresh=0.25,
+                cls_bg_thresh_lo=0.1, hard_bg_ratio=0.8)
+
+
+def assign_roi_targets(rng_key, proposals, gt_boxes, cfg=None):
+    """Batch RoI sampling + target assignment (pure, no params)."""
+    cfg = cfg or default_target_cfg()
+    keys = jax.random.split(rng_key, proposals["rois"].shape[0])
+    targets = jax.vmap(
+        lambda k, r, rl, rs, rf, gb: sample_rois_single(
+            k, r, rl, rs, rf, gb, cfg)
+    )(keys, proposals["rois"], proposals["roi_labels"],
+      proposals["roi_scores"], proposals["roi_scores_full"], gt_boxes)
+    targets["gt_of_rois_src"] = targets["gt_of_rois"]
+    targets["gt_of_rois_ct"] = canonical_transform(targets)
+    return jax.tree.map(jax.lax.stop_gradient, targets)
+
+
+def decode_roi_boxes(rois, rcnn_reg):
+    """generate_predicted_boxes (``roi_head_template.py:235-260``)."""
+    coder = ResidualCoder()
+    local_roi = jnp.concatenate(
+        [jnp.zeros_like(rois[..., 0:3]), rois[..., 3:7]], axis=-1)
+    dec = coder.decode(rcnn_reg, local_roi)
+    b, n = rois.shape[:2]
+    rot = geometry.rotate_points_z(
+        dec[..., 0:3].reshape(b * n, 1, 3),
+        rois[..., 6].reshape(-1)).reshape(b, n, 3)
+    center = rot + rois[..., 0:3]
+    heading = dec[..., 6:7] + rois[..., 6:7]
+    return jnp.concatenate([center, dec[..., 3:6], heading], axis=-1)
+
+
+def roi_head_loss(rcnn_cls, rcnn_reg, targets, loss_weights=None):
+    """BCE cls (roi_iou soft labels) + smooth-L1 reg + corner loss
+    (``roi_head_template.py:140-230``)."""
+    lw = loss_weights or dict(rcnn_cls_weight=1.0, rcnn_reg_weight=1.0,
+                              rcnn_corner_weight=1.0,
+                              code_weights=[1.0] * 7)
+    coder = ResidualCoder()
+    cls_labels = targets["rcnn_cls_labels"]
+    cls_valid = (cls_labels >= 0).astype(jnp.float32)
+    p = jax.nn.sigmoid(rcnn_cls[..., 0])
+    eps = 1e-7
+    bce = -(cls_labels * jnp.log(jnp.clip(p, eps, 1.0))
+            + (1 - cls_labels) * jnp.log(jnp.clip(1 - p, eps, 1.0)))
+    rcnn_loss_cls = (jnp.sum(bce * cls_valid)
+                     / jnp.maximum(jnp.sum(cls_valid), 1.0)
+                     ) * lw["rcnn_cls_weight"]
+
+    fg = targets["reg_valid_mask"].astype(jnp.float32)
+    fg_sum = jnp.maximum(jnp.sum(fg), 1.0)
+    rois = targets["rois"]
+    rois_anchor = jnp.concatenate(
+        [jnp.zeros_like(rois[..., 0:3]), rois[..., 3:6],
+         jnp.zeros_like(rois[..., 6:7])], axis=-1)
+    reg_targets = coder.encode(targets["gt_of_rois_ct"][..., :7],
+                               rois_anchor)
+    reg_loss = losses.weighted_smooth_l1(
+        rcnn_reg, reg_targets, code_weights=lw["code_weights"])
+    rcnn_loss_reg = (jnp.sum(jnp.sum(reg_loss, axis=-1) * fg) / fg_sum
+                     ) * lw["rcnn_reg_weight"]
+
+    decoded = decode_roi_boxes(rois, rcnn_reg)
+    b, n = decoded.shape[:2]
+    corner = losses.corner_loss_lidar(
+        decoded.reshape(-1, 7),
+        targets["gt_of_rois_src"][..., :7].reshape(-1, 7))
+    rcnn_loss_corner = (jnp.sum(corner.reshape(b, n) * fg) / fg_sum
+                        ) * lw["rcnn_corner_weight"]
+    return dict(rcnn_loss_cls=rcnn_loss_cls,
+                rcnn_loss_reg=rcnn_loss_reg,
+                rcnn_loss_corner=rcnn_loss_corner)
+
+
 class PVRCNNHead(nn.Module):
     num_classes: int = 3  # for roi_scores_full width
     grid_size: int = 6
@@ -290,71 +367,8 @@ class PVRCNNHead(nn.Module):
     # ---------------- pure helpers (no params) ----------------
 
     def assign_targets(self, rng_key, proposals, gt_boxes):
-        cfg = self.target_cfg or self.default_target_cfg()
-        keys = jax.random.split(rng_key, proposals["rois"].shape[0])
-        targets = jax.vmap(
-            lambda k, r, rl, rs, rf, gb: sample_rois_single(
-                k, r, rl, rs, rf, gb, cfg)
-        )(keys, proposals["rois"], proposals["roi_labels"],
-          proposals["roi_scores"], proposals["roi_scores_full"], gt_boxes)
-        targets["gt_of_rois_src"] = targets["gt_of_rois"]
-        targets["gt_of_rois_ct"] = canonical_transform(targets)
-        return jax.tree.map(jax.lax.stop_gradient, targets)
+        return assign_roi_targets(rng_key, proposals, gt_boxes,
+                                  self.target_cfg or default_target_cfg())
 
-    @staticmethod
-    def decode_boxes(rois, rcnn_reg):
-        """generate_predicted_boxes (``roi_head_template.py:235-260``)."""
-        coder = ResidualCoder()
-        local_roi = jnp.concatenate(
-            [jnp.zeros_like(rois[..., 0:3]), rois[..., 3:7]], axis=-1)
-        dec = coder.decode(rcnn_reg, local_roi)
-        b, n = rois.shape[:2]
-        rot = geometry.rotate_points_z(
-            dec[..., 0:3].reshape(b * n, 1, 3),
-            rois[..., 6].reshape(-1)).reshape(b, n, 3)
-        center = rot + rois[..., 0:3]
-        heading = dec[..., 6:7] + rois[..., 6:7]
-        return jnp.concatenate([center, dec[..., 3:6], heading], axis=-1)
-
-    @staticmethod
-    def loss(rcnn_cls, rcnn_reg, targets, loss_weights=None):
-        """BCE cls (roi_iou soft labels) + smooth-L1 reg + corner loss
-        (``roi_head_template.py:140-230``)."""
-        lw = loss_weights or dict(rcnn_cls_weight=1.0, rcnn_reg_weight=1.0,
-                                  rcnn_corner_weight=1.0,
-                                  code_weights=[1.0] * 7)
-        coder = ResidualCoder()
-        cls_labels = targets["rcnn_cls_labels"]
-        cls_valid = (cls_labels >= 0).astype(jnp.float32)
-        p = jax.nn.sigmoid(rcnn_cls[..., 0])
-        eps = 1e-7
-        bce = -(cls_labels * jnp.log(jnp.clip(p, eps, 1.0))
-                + (1 - cls_labels) * jnp.log(jnp.clip(1 - p, eps, 1.0)))
-        rcnn_loss_cls = (jnp.sum(bce * cls_valid)
-                         / jnp.maximum(jnp.sum(cls_valid), 1.0)
-                         ) * lw["rcnn_cls_weight"]
-
-        fg = targets["reg_valid_mask"].astype(jnp.float32)
-        fg_sum = jnp.maximum(jnp.sum(fg), 1.0)
-        rois = targets["rois"]
-        rois_anchor = jnp.concatenate(
-            [jnp.zeros_like(rois[..., 0:3]), rois[..., 3:6],
-             jnp.zeros_like(rois[..., 6:7])], axis=-1)
-        reg_targets = coder.encode(targets["gt_of_rois_ct"][..., :7],
-                                   rois_anchor)
-        reg_loss = losses.weighted_smooth_l1(
-            rcnn_reg, reg_targets, code_weights=lw["code_weights"])
-        rcnn_loss_reg = (jnp.sum(jnp.sum(reg_loss, axis=-1) * fg) / fg_sum
-                         ) * lw["rcnn_reg_weight"]
-
-        # corner loss on decoded fg boxes vs original gt
-        decoded = PVRCNNHead.decode_boxes(rois, rcnn_reg)
-        b, n = decoded.shape[:2]
-        corner = losses.corner_loss_lidar(
-            decoded.reshape(-1, 7),
-            targets["gt_of_rois_src"][..., :7].reshape(-1, 7))
-        rcnn_loss_corner = (jnp.sum(corner.reshape(b, n) * fg) / fg_sum
-                            ) * lw["rcnn_corner_weight"]
-        return dict(rcnn_loss_cls=rcnn_loss_cls,
-                    rcnn_loss_reg=rcnn_loss_reg,
-                    rcnn_loss_corner=rcnn_loss_corner)
+    decode_boxes = staticmethod(decode_roi_boxes)
+    loss = staticmethod(roi_head_loss)

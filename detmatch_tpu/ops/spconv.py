@@ -355,6 +355,44 @@ def downsample_keys_batched(in_keys, spatial_shape_in, spatial_shape_out,
     return out.reshape(b, out_cap), counts
 
 
+def sparse_maxpool_batched(feats, in_keys, spatial_shape_in, kernel_size,
+                           stride, padding, out_cap):
+    """Sparse max pooling (reference spconv ``SparseMaxPool3d`` /
+    ``indice_maxpool`` in ``maxpool_cuda.cu``): output key set is that of a
+    strided sparse conv with the same geometry; each output takes the max
+    over its present input taps.
+
+    Args:
+        feats: (B, N, C); in_keys: (B, N) sorted.
+    Returns:
+        (out_feats (B, out_cap, C), out_keys (B, out_cap), counts (B,)).
+    """
+    kernel_size = _triple(kernel_size)
+    stride_t = _triple(stride)
+    padding_t = _triple(padding)
+    shape_out = output_spatial_shape(spatial_shape_in, kernel_size,
+                                     stride_t, padding_t)
+    out_keys, counts = downsample_keys_batched(
+        in_keys, spatial_shape_in, shape_out, kernel_size, stride_t,
+        padding_t, out_cap)
+    nkeys = sparse_neighbor_keys(out_keys, spatial_shape_in, shape_out,
+                                 kernel_size, stride_t, padding_t)
+    b, m, k = nkeys.shape
+    band = int(np.prod(spatial_shape_in)) + 2
+    rb = lookup_batched(in_keys, nkeys.reshape(b, m * k),
+                        band=band).reshape(b, m, k)
+    valid = rb >= 0
+    n = feats.shape[1]
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
+    idx = jnp.where(valid, rb + base, 0).reshape(-1)
+    gathered = feats.reshape(b * n, -1)[idx].reshape(b, m, k, -1)
+    gathered = jnp.where(valid[..., None], gathered, -jnp.inf)
+    pooled = jnp.max(gathered, axis=2)
+    pooled = jnp.where((out_keys != INVALID_KEY)[..., None]
+                       & jnp.isfinite(pooled), pooled, 0.0)
+    return pooled, out_keys, counts
+
+
 def gather_conv_batched(feats, rulebook, weights):
     """Batched gather-GEMM via flat indices (one gather + one GEMM).
 

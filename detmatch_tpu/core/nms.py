@@ -73,6 +73,7 @@ def iou_matrix_2d(boxes, chunk=1024):
 def _greedy_from_matrix(iou_mat, scores, iou_thr, max_out):
     """Greedy selection given a precomputed IoU matrix."""
     n = scores.shape[0]
+    trips = min(max_out, n)  # can't select more than n boxes
 
     def body(k, state):
         alive, out_idx, out_valid = state
@@ -89,7 +90,7 @@ def _greedy_from_matrix(iou_mat, scores, iou_thr, max_out):
     idx0 = jnp.zeros((max_out,), jnp.int32)
     valid0 = jnp.zeros((max_out,), bool)
     _, out_idx, out_valid = jax.lax.fori_loop(
-        0, max_out, body, (alive0, idx0, valid0))
+        0, trips, body, (alive0, idx0, valid0))
     return out_idx, out_valid
 
 

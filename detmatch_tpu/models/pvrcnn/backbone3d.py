@@ -45,21 +45,31 @@ class VoxelBackbone8x(nn.Module):
                     else "xla")
         return impl
 
-    def _conv(self, feats, keys, nkeys, w, shape):
-        """Dispatch: fused key kernel vs rulebook lookup + gather."""
+    def _rulebook(self, keys, nkeys, shape):
+        """XLA path: resolve neighbor keys to indices ONCE per indice_key
+        (the reference's rulebook cache, ``conv.py:95-169``); pallas path
+        fuses the lookup into the kernel, so no rulebook is needed."""
+        if self._impl() == "pallas_key":
+            return None
+        b, n, k = nkeys.shape
+        band = int(np.prod(shape)) + 2
+        return spconv.lookup_batched(keys, nkeys.reshape(b, n * k),
+                                     band=band).reshape(b, n, k)
+
+    def _conv(self, feats, keys, nkeys, w, shape, rb=None):
+        """Dispatch: fused key kernel vs rulebook gather-GEMM."""
         if self._impl() == "pallas_key":
             from ...ops.pallas.onehot_key_conv import key_conv_batched
             band = int(np.prod(shape)) + 1
             return key_conv_batched(feats, keys, nkeys, w, band)
-        b, n, k = nkeys.shape
-        rb = spconv.lookup_batched(keys, nkeys.reshape(b, n * k)
-                                   ).reshape(b, n, k)
+        if rb is None:
+            rb = self._rulebook(keys, nkeys, shape)
         return spconv.gather_conv_batched(feats, rb, w)
 
     def _subm(self, name, feats, keys, nkeys, cin, cout, mask, train,
-              shape):
+              shape, rb=None):
         w = self.param(name + "_w", KAIMING, (27, cin, cout))
-        out = self._conv(feats, keys, nkeys, w, shape)
+        out = self._conv(feats, keys, nkeys, w, shape, rb=rb)
         out = MaskedBatchNorm(
             name=name + "_bn",
             use_running_average=self.use_running_average,
@@ -105,40 +115,45 @@ class VoxelBackbone8x(nn.Module):
         mask1 = voxel_keys != INVALID_KEY
 
         nk1 = spconv.subm_neighbor_keys(voxel_keys, shape1, (3, 3, 3))
+        rb1 = self._rulebook(voxel_keys, nk1, shape1)
         x = self._subm("conv_input", voxel_features, voxel_keys, nk1,
-                       voxel_features.shape[-1], c1, mask1, train, shape1)
+                       voxel_features.shape[-1], c1, mask1, train, shape1,
+                       rb=rb1)
         x = self._subm("conv1_0", x, voxel_keys, nk1, c1, c1b, mask1,
-                       train, shape1)
+                       train, shape1, rb=rb1)
         x_conv1 = x
 
         x, keys2, n2, mask2, shape2 = self._down(
             "conv2_down", x, voxel_keys, shape1, 3, 2, 1, c1b, c2,
             self.caps[0], mask1, train)
         nk2 = spconv.subm_neighbor_keys(keys2, shape2, (3, 3, 3))
+        rb2 = self._rulebook(keys2, nk2, shape2)
         x = self._subm("conv2_0", x, keys2, nk2, c2, c2, mask2, train,
-                       shape2)
+                       shape2, rb=rb2)
         x = self._subm("conv2_1", x, keys2, nk2, c2, c2, mask2, train,
-                       shape2)
+                       shape2, rb=rb2)
         x_conv2 = x
 
         x, keys3, n3, mask3, shape3 = self._down(
             "conv3_down", x, keys2, shape2, 3, 2, 1, c2, c3,
             self.caps[1], mask2, train)
         nk3 = spconv.subm_neighbor_keys(keys3, shape3, (3, 3, 3))
+        rb3 = self._rulebook(keys3, nk3, shape3)
         x = self._subm("conv3_0", x, keys3, nk3, c3, c3, mask3, train,
-                       shape3)
+                       shape3, rb=rb3)
         x = self._subm("conv3_1", x, keys3, nk3, c3, c3, mask3, train,
-                       shape3)
+                       shape3, rb=rb3)
         x_conv3 = x
 
         x, keys4, n4, mask4, shape4 = self._down(
             "conv4_down", x, keys3, shape3, 3, 2, (0, 1, 1), c3, c4,
             self.caps[2], mask3, train)
         nk4 = spconv.subm_neighbor_keys(keys4, shape4, (3, 3, 3))
+        rb4 = self._rulebook(keys4, nk4, shape4)
         x = self._subm("conv4_0", x, keys4, nk4, c4, c4, mask4, train,
-                       shape4)
+                       shape4, rb=rb4)
         x = self._subm("conv4_1", x, keys4, nk4, c4, c4, mask4, train,
-                       shape4)
+                       shape4, rb=rb4)
         x_conv4 = x
 
         out, keys_out, n_out, mask_out, shape_out = self._down(

@@ -1,0 +1,83 @@
+"""FPS variants on the real chip: current, dot-trick, batched-B."""
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+from detmatch_tpu.ops import pointnet
+
+BIG = 1e10
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def fps_dot(xyz, valid, num_samples):
+    """d2 update via pp - 2 x.last + |last|^2 (no (N,3) temp)."""
+    pp = jnp.sum(xyz * xyz, axis=-1)
+    first = jnp.argmax(valid.astype(jnp.int32)).astype(jnp.int32)
+
+    def body(i, state):
+        d2_, idx_, last = state
+        lastxyz = xyz[last]
+        nd = pp - 2.0 * (xyz @ lastxyz) + jnp.dot(lastxyz, lastxyz)
+        d2_ = jnp.minimum(d2_, jnp.where(valid, nd, -1.0))
+        nxt = jnp.argmax(d2_).astype(jnp.int32)
+        idx_ = idx_.at[i].set(nxt)
+        return d2_, idx_, nxt
+
+    idx0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first)
+    _, idx, _ = jax.lax.fori_loop(
+        1, num_samples, body,
+        (jnp.where(valid, BIG, -1.0), idx0, first))
+    return idx
+
+
+def chained(name, fn, xyz, valid, iters=5):
+    t0 = time.perf_counter()
+    out = fn(xyz, valid)
+    jax.block_until_ready(out)
+    comp = time.perf_counter() - t0
+    best = None
+    for _ in range(3):
+        x = xyz
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(x, valid)
+            x = xyz + 0 * out.reshape(-1)[0].astype(xyz.dtype)
+        jax.block_until_ready(x)
+        d = (time.perf_counter() - t0) / iters
+        best = d if best is None else min(best, d)
+    print(f"{name:<36} {best * 1e3:8.3f} ms (compile {comp:.1f}s)",
+          flush=True)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    n, k = 8192, 1024
+    xyz1 = jnp.asarray(rng.rand(1, n, 3).astype(np.float32) * 60)
+    v1 = jnp.ones((1, n), bool)
+
+    cur = jax.jit(lambda x, v: jax.vmap(
+        pointnet.farthest_point_sample, (0, 0, None))(x, v, k))
+    chained("current B=1 N=8192 K=1024", cur, xyz1, v1)
+
+    dot = jax.jit(lambda x, v: jax.vmap(fps_dot, (0, 0, None))(x, v, k))
+    chained("dot-trick B=1", dot, xyz1, v1)
+
+    xyz8 = jnp.asarray(rng.rand(8, n, 3).astype(np.float32) * 60)
+    v8 = jnp.ones((8, n), bool)
+    chained("current B=8 (per-batch)", cur, xyz8, v8)
+    chained("dot-trick B=8 (per-batch)", dot, xyz8, v8)
+
+
+if __name__ == "__main__":
+    main()

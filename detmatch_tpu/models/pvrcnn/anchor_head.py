@@ -213,13 +213,15 @@ class AnchorHeadSingle(nn.Module):
             lambda gb: assign_targets(anchors, pac, gb, mt, ut, self.coder)
         )(gt_boxes)
 
-    def loss(self, preds, targets):
-        """Reference get_loss (``anchor_head_template.py:102-215``)."""
+    def loss_per_sample(self, preds, targets):
+        """Per-sample loss components (each (B,)): the reference's
+        ``get_loss`` equals ``mean_over_batch`` of these. Exposed so the
+        SSL concat-batch step can regroup labeled/unlabeled sub-batches
+        exactly as if they ran in separate passes."""
         labels, reg_targets, reg_weights = targets
         lw = self.loss_weights or dict(cls_weight=1.0, loc_weight=2.0,
                                        dir_weight=0.2,
                                        code_weights=[1.0] * 7)
-        b = labels.shape[0]
         cared = labels >= 0
         positives = labels > 0
         pos_norm = jnp.maximum(
@@ -230,10 +232,10 @@ class AnchorHeadSingle(nn.Module):
             jnp.where(cared, labels, 0), self.num_classes + 1
         )[..., 1:]
         cls_loss = jnp.sum(losses.sigmoid_focal_loss(
-            preds["cls_preds"], onehot, cls_w)) / b * lw["cls_weight"]
+            preds["cls_preds"], onehot, cls_w),
+            axis=(1, 2)) * lw["cls_weight"]
 
         reg_w = positives.astype(jnp.float32) / pos_norm
-        # sin-difference heading encoding
         bp, rt = preds["box_preds"], reg_targets
         sin_p = jnp.sin(bp[..., 6:7]) * jnp.cos(rt[..., 6:7])
         sin_t = jnp.cos(bp[..., 6:7]) * jnp.sin(rt[..., 6:7])
@@ -241,7 +243,8 @@ class AnchorHeadSingle(nn.Module):
         rt_sin = jnp.concatenate([rt[..., :6], sin_t], axis=-1)
         loc_loss = jnp.sum(losses.weighted_smooth_l1(
             bp_sin, rt_sin, weights=reg_w,
-            code_weights=lw["code_weights"])) / b * lw["loc_weight"]
+            code_weights=lw["code_weights"]),
+            axis=(1, 2)) * lw["loc_weight"]
 
         anchors = self._anchors()
         rot_gt = reg_targets[..., 6] + anchors[None, :, 6]
@@ -252,10 +255,16 @@ class AnchorHeadSingle(nn.Module):
             0, self.num_dir_bins - 1).astype(jnp.int32)
         dir_onehot = jax.nn.one_hot(dir_t, self.num_dir_bins)
         dir_loss = jnp.sum(losses.weighted_cross_entropy(
-            preds["dir_preds"], dir_onehot, reg_w)) / b * lw["dir_weight"]
-
+            preds["dir_preds"], dir_onehot, reg_w),
+            axis=1) * lw["dir_weight"]  # CE is already class-reduced
         return dict(rpn_loss_cls=cls_loss, rpn_loss_loc=loc_loss,
                     rpn_loss_dir=dir_loss)
+
+    def loss(self, preds, targets):
+        """Reference get_loss (``anchor_head_template.py:102-215``) —
+        batch mean of the per-sample components."""
+        per = self.loss_per_sample(preds, targets)
+        return {k: jnp.mean(v) for k, v in per.items()}
 
     def decode_boxes(self, preds):
         """generate_predicted_boxes: decode all anchors + dir snap.

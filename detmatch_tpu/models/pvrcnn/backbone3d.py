@@ -41,24 +41,38 @@ class VoxelBackbone8x(nn.Module):
     def _impl(self):
         impl = self.conv_impl
         if impl == "auto":
-            return ("pallas_key" if jax.default_backend() == "tpu"
+            import os
+            env = os.environ.get("DETMATCH_SPCONV_IMPL")
+            if env:
+                return env
+            return ("pallas_window" if jax.default_backend() == "tpu"
                     else "xla")
         return impl
 
     def _rulebook(self, keys, nkeys, shape):
         """XLA path: resolve neighbor keys to indices ONCE per indice_key
-        (the reference's rulebook cache, ``conv.py:95-169``); pallas path
-        fuses the lookup into the kernel, so no rulebook is needed."""
-        if self._impl() == "pallas_key":
+        (the reference's rulebook cache, ``conv.py:95-169``); pallas paths
+        fuse the lookup into the kernel, so no rulebook is needed."""
+        if self._impl() != "xla":
             return None
         b, n, k = nkeys.shape
         band = int(np.prod(shape)) + 2
         return spconv.lookup_batched(keys, nkeys.reshape(b, n * k),
                                      band=band).reshape(b, n, k)
 
-    def _conv(self, feats, keys, nkeys, w, shape, rb=None):
-        """Dispatch: fused key kernel vs rulebook gather-GEMM."""
-        if self._impl() == "pallas_key":
+    def _conv(self, feats, keys, nkeys, w, shape, rb=None,
+              out_keys=None):
+        """Dispatch: windowed / full key-compare kernels vs rulebook
+        gather-GEMM."""
+        impl = self._impl()
+        if impl == "pallas_window":
+            from ...ops.pallas.window_key_conv import (
+                window_key_conv_batched)
+            band = int(np.prod(shape)) + 1
+            ok = keys if out_keys is None else out_keys
+            return window_key_conv_batched(feats, keys, nkeys, ok, w,
+                                           band)
+        if impl == "pallas_key":
             from ...ops.pallas.onehot_key_conv import key_conv_batched
             band = int(np.prod(shape)) + 1
             return key_conv_batched(feats, keys, nkeys, w, band)
@@ -90,7 +104,8 @@ class VoxelBackbone8x(nn.Module):
             out_keys, shape_in, shape_out, kernel, stride_t, padding_t)
         k_total = kernel[0] * kernel[1] * kernel[2]
         w = self.param(name + "_w", KAIMING, (k_total, cin, cout))
-        out = self._conv(feats, keys, nkeys, w, shape_in)
+        out = self._conv(feats, keys, nkeys, w, shape_in,
+                         out_keys=out_keys)
         mask = out_keys != INVALID_KEY
         out = MaskedBatchNorm(
             name=name + "_bn",

@@ -17,16 +17,18 @@ from ..layers import ConvBNReLU
 def height_compression(level):
     """Sparse (stride-8, z-compressed) tensor → dense BEV NHWC.
 
-    Scatters to (B, Z, Y, X, C) then merges z into channels →
-    (B, Y, X, Z*C) = (B, 200, 176, 256).
+    With y-major keys the scatter lands directly in (B, Y, X, Z, C); z
+    merges into channels with a plain reshape → (B, Y, X, Z*C) =
+    (B, 200, 176, 256). (Z-inner channel order vs the reference's
+    C-inner — handled at checkpoint import, see import_torch_ckpt.)
     """
-    dense = jax.vmap(spconv.to_dense, (0, None))(
+    dense = jax.vmap(spconv.to_dense_yxz, (0, None))(
         spconv.SparseTensor(level["feats"], level["keys"],
                             jnp.sum(level["mask"], axis=-1)),
         level["shape"],
-    )  # (B, Z, Y, X, C)
-    b, z, y, x, c = dense.shape
-    return dense.transpose(0, 2, 3, 1, 4).reshape(b, y, x, z * c)
+    )  # (B, Y, X, Z, C)
+    b, y, x, z, c = dense.shape
+    return dense.reshape(b, y, x, z * c)
 
 
 class BaseBEVBackbone(nn.Module):

@@ -58,12 +58,20 @@ class PointHeadSimple(nn.Module):
         return jax.vmap(single)(keypoints, kp_valid, gt_boxes)
 
     @staticmethod
-    def loss(logits, targets, weight=1.0):
-        """Reference ``point_head_template.get_cls_layer_loss``."""
+    def loss_terms(logits, targets):
+        """Per-sample (numerator, positive-count) pairs; any group's loss
+        is sum(numer)/max(sum(pos), 1) — exactly the batch-global
+        normalization of :meth:`loss` restricted to that group."""
         positives = targets > 0
         cared = targets >= 0
-        pos_norm = jnp.maximum(jnp.sum(positives.astype(jnp.float32)), 1.0)
-        w = cared.astype(jnp.float32) / pos_norm
         onehot = positives.astype(jnp.float32)[..., None]
-        loss = losses.sigmoid_focal_loss(logits, onehot, w)
-        return jnp.sum(loss) * weight
+        raw = losses.sigmoid_focal_loss(logits, onehot,
+                                        cared.astype(jnp.float32))
+        return (jnp.sum(raw, axis=(1, 2)),
+                jnp.sum(positives.astype(jnp.float32), axis=1))
+
+    @staticmethod
+    def loss(logits, targets, weight=1.0):
+        """Reference ``point_head_template.get_cls_layer_loss``."""
+        numer, pos = PointHeadSimple.loss_terms(logits, targets)
+        return jnp.sum(numer) / jnp.maximum(jnp.sum(pos), 1.0) * weight

@@ -152,6 +152,46 @@ class PVRCNN(nn.Module):
         losses["loss"] = sum(losses.values())
         return losses
 
+    def loss_grouped(self, out, batch, groups):
+        """Training loss over a concatenated batch, regrouped per
+        sub-batch: for each ``name -> (mask (B,) bool, weight)`` entry,
+        the losses over the masked samples are normalized exactly as a
+        separate forward over just those samples would normalize them
+        (per-sample rpn means; batch-global positive counts for the point
+        and RoI heads restricted to the group). Lets the SSL step run ONE
+        PV-RCNN pass over labeled+unlabeled samples instead of two.
+
+        Returns {'<name>.<loss>': scalar, ..., 'loss': weighted total}.
+        """
+        from .roi_head import roi_head_loss_terms
+
+        rpn_targets = self.anchor_head.targets(batch["gt_boxes"])
+        rpn_per = self.anchor_head.loss_per_sample(out["head_preds"],
+                                                   rpn_targets)
+        pt_targets = self.point_head.targets(
+            out["keypoints"], out["kp_valid"], batch["gt_boxes"])
+        pt_numer, pt_pos = PointHeadSimple.loss_terms(out["point_logits"],
+                                                      pt_targets)
+        rcnn_terms = roi_head_loss_terms(out["rcnn_cls"], out["rcnn_reg"],
+                                         out["roi_targets"])
+        result = {}
+        total = 0.0
+        for name, (mask, weight) in groups.items():
+            m = mask.astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            sub = {k: jnp.sum(v * m) / cnt for k, v in rpn_per.items()}
+            sub["point_loss_cls"] = (jnp.sum(pt_numer * m)
+                                     / jnp.maximum(jnp.sum(pt_pos * m),
+                                                   1.0))
+            for k, (nu, de) in rcnn_terms.items():
+                sub[k] = jnp.sum(nu * m) / jnp.maximum(jnp.sum(de * m),
+                                                       1.0)
+            for k, v in sub.items():
+                result[f"{name}.{k}"] = v
+            total = total + weight * sum(sub.values())
+        result["loss"] = total
+        return result
+
 
 @partial(jax.jit, static_argnames=("nms_pre", "nms_post", "no_nms"))
 def post_processing(out, nms_pre=4096, nms_post=500, nms_thresh=0.1,

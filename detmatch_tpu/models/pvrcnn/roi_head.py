@@ -235,9 +235,10 @@ def decode_roi_boxes(rois, rcnn_reg):
     return jnp.concatenate([center, dec[..., 3:6], heading], axis=-1)
 
 
-def roi_head_loss(rcnn_cls, rcnn_reg, targets, loss_weights=None):
-    """BCE cls (roi_iou soft labels) + smooth-L1 reg + corner loss
-    (``roi_head_template.py:140-230``)."""
+def roi_head_loss_terms(rcnn_cls, rcnn_reg, targets, loss_weights=None):
+    """Per-sample (numerator, denominator) pairs for the RoI losses; a
+    group's loss is sum(numer)/max(sum(denom), 1) * weight — the batch-
+    global normalization of ``roi_head_loss`` restricted to the group."""
     lw = loss_weights or dict(rcnn_cls_weight=1.0, rcnn_reg_weight=1.0,
                               rcnn_corner_weight=1.0,
                               code_weights=[1.0] * 7)
@@ -248,12 +249,10 @@ def roi_head_loss(rcnn_cls, rcnn_reg, targets, loss_weights=None):
     eps = 1e-7
     bce = -(cls_labels * jnp.log(jnp.clip(p, eps, 1.0))
             + (1 - cls_labels) * jnp.log(jnp.clip(1 - p, eps, 1.0)))
-    rcnn_loss_cls = (jnp.sum(bce * cls_valid)
-                     / jnp.maximum(jnp.sum(cls_valid), 1.0)
-                     ) * lw["rcnn_cls_weight"]
+    cls_numer = jnp.sum(bce * cls_valid, axis=1) * lw["rcnn_cls_weight"]
+    cls_denom = jnp.sum(cls_valid, axis=1)
 
     fg = targets["reg_valid_mask"].astype(jnp.float32)
-    fg_sum = jnp.maximum(jnp.sum(fg), 1.0)
     rois = targets["rois"]
     rois_anchor = jnp.concatenate(
         [jnp.zeros_like(rois[..., 0:3]), rois[..., 3:6],
@@ -262,19 +261,28 @@ def roi_head_loss(rcnn_cls, rcnn_reg, targets, loss_weights=None):
                                rois_anchor)
     reg_loss = losses.weighted_smooth_l1(
         rcnn_reg, reg_targets, code_weights=lw["code_weights"])
-    rcnn_loss_reg = (jnp.sum(jnp.sum(reg_loss, axis=-1) * fg) / fg_sum
-                     ) * lw["rcnn_reg_weight"]
+    reg_numer = (jnp.sum(jnp.sum(reg_loss, axis=-1) * fg, axis=1)
+                 * lw["rcnn_reg_weight"])
 
     decoded = decode_roi_boxes(rois, rcnn_reg)
     b, n = decoded.shape[:2]
     corner = losses.corner_loss_lidar(
         decoded.reshape(-1, 7),
         targets["gt_of_rois_src"][..., :7].reshape(-1, 7))
-    rcnn_loss_corner = (jnp.sum(corner.reshape(b, n) * fg) / fg_sum
-                        ) * lw["rcnn_corner_weight"]
-    return dict(rcnn_loss_cls=rcnn_loss_cls,
-                rcnn_loss_reg=rcnn_loss_reg,
-                rcnn_loss_corner=rcnn_loss_corner)
+    corner_numer = (jnp.sum(corner.reshape(b, n) * fg, axis=1)
+                    * lw["rcnn_corner_weight"])
+    fg_denom = jnp.sum(fg, axis=1)
+    return dict(rcnn_loss_cls=(cls_numer, cls_denom),
+                rcnn_loss_reg=(reg_numer, fg_denom),
+                rcnn_loss_corner=(corner_numer, fg_denom))
+
+
+def roi_head_loss(rcnn_cls, rcnn_reg, targets, loss_weights=None):
+    """BCE cls (roi_iou soft labels) + smooth-L1 reg + corner loss
+    (``roi_head_template.py:140-230``)."""
+    terms = roi_head_loss_terms(rcnn_cls, rcnn_reg, targets, loss_weights)
+    return {k: jnp.sum(numer) / jnp.maximum(jnp.sum(denom), 1.0)
+            for k, (numer, denom) in terms.items()}
 
 
 class PVRCNNHead(nn.Module):

@@ -32,11 +32,14 @@ class UNetBackbone(nn.Module):
     caps: Tuple[int, int, int, int] = (24000, 16000, 10000, 10000)
     use_running_average: bool = False
 
-    def _conv(self, feats, keys, nkeys, w, shape):
+    def _conv(self, feats, keys, nkeys, w, shape, out_keys=None):
         if jax.default_backend() == "tpu":
-            from ...ops.pallas.onehot_key_conv import key_conv_batched
+            from ...ops.pallas.window_key_conv import (
+                window_key_conv_batched)
             band = int(np.prod(shape)) + 1
-            return key_conv_batched(feats, keys, nkeys, w, band)
+            ok = keys if out_keys is None else out_keys
+            return window_key_conv_batched(feats, keys, nkeys, ok, w,
+                                           band)
         b, n, k = nkeys.shape
         band = int(np.prod(shape)) + 2
         rb = spconv.lookup_batched(keys, nkeys.reshape(b, n * k),

@@ -384,8 +384,10 @@ def sparse_maxpool_batched(feats, in_keys, spatial_shape_in, kernel_size,
     valid = rb >= 0
     n = feats.shape[1]
     base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
-    idx = jnp.where(valid, rb + base, 0).reshape(-1)
-    gathered = feats.reshape(b * n, -1)[idx].reshape(b, m, k, -1)
+    idx = jax.lax.optimization_barrier(
+        jnp.where(valid, rb + base, 0).reshape(-1))
+    gathered = jax.lax.optimization_barrier(
+        feats.reshape(b * n, -1)[idx]).reshape(b, m, k, -1)
     gathered = jnp.where(valid[..., None], gathered, -jnp.inf)
     pooled = jnp.max(gathered, axis=2)
     pooled = jnp.where((out_keys != INVALID_KEY)[..., None]
@@ -395,6 +397,12 @@ def sparse_maxpool_batched(feats, in_keys, spatial_shape_in, kernel_size,
 
 def gather_conv_batched(feats, rulebook, weights):
     """Batched gather-GEMM via flat indices (one gather + one GEMM).
+
+    The gather is fenced with optimization barriers: XLA-TPU lowers an
+    ISOLATED row gather as a fast bulk copy (~1 ms for 324k rows), but a
+    gather fused with its index producer or its consumer degrades ~36x
+    into an elementwise path (measured on v5e; see
+    ``tools/misc/bench_lookup2.py``).
 
     Args:
         feats: (B, N, Cin); rulebook: (B, M, K); weights: (K, Cin, Cout).
@@ -406,8 +414,11 @@ def gather_conv_batched(feats, rulebook, weights):
     valid = rulebook >= 0
     base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
     idx = jnp.where(valid, rulebook + base, 0).reshape(-1)
-    gathered = feats.reshape(b * n, cin)[idx].reshape(b, m, k, cin)
-    gathered = jnp.where(valid[..., None], gathered, 0.0)
+    idx = jax.lax.optimization_barrier(idx)
+    src = jax.lax.optimization_barrier(feats.reshape(b * n, cin))
+    gathered = jax.lax.optimization_barrier(src[idx])
+    gathered = jnp.where(valid[..., None],
+                         gathered.reshape(b, m, k, cin), 0.0)
     out = jax.lax.dot_general(
         gathered.reshape(b * m, k * cin),
         weights.reshape(k * cin, -1),
@@ -490,9 +501,17 @@ def sparse_conv(st: SparseTensor, weights, spatial_shape, kernel_size,
 def to_dense(st: SparseTensor, spatial_shape):
     """Scatter a sparse tensor to a dense (Z, Y, X, C) grid (HeightCompression
     input, reference ``height_compression.py:10-26``)."""
+    return to_dense_yxz(st, spatial_shape).transpose(2, 0, 1, 3)
+
+
+def to_dense_yxz(st: SparseTensor, spatial_shape):
+    """Scatter to a dense (Y, X, Z, C) grid — the native layout of the
+    y-major key order (flat key IS the (y, x, z) row-major index), so the
+    scatter needs no index remap and HeightCompression can merge z into
+    channels with a plain reshape."""
     Z, Y, X = spatial_shape
     C = st.feats.shape[-1]
-    dense = jnp.zeros((Z * Y * X, C), st.feats.dtype)
-    idx = jnp.where(st.keys == INVALID_KEY, Z * Y * X, st.keys)
+    dense = jnp.zeros((Y * X * Z, C), st.feats.dtype)
+    idx = jnp.where(st.keys == INVALID_KEY, Y * X * Z, st.keys)
     dense = dense.at[idx].set(st.feats, mode="drop")
-    return dense.reshape(Z, Y, X, C)
+    return dense.reshape(Y, X, Z, C)

@@ -56,20 +56,28 @@ class VoxelizerSpec(NamedTuple):
 
 
 def linearize(coords_zyx, spatial_shape):
-    """(..., 3) int zyx coords → (...,) int32 keys (row-major z, y, x)."""
+    """(..., 3) int zyx coords → (...,) int32 keys, **y-major** mixed radix
+    (y, x, z).
+
+    Key order is a free internal choice (all consumers go through
+    linearize/delinearize); y-major makes sorted keys spatially local in
+    y, so a run of consecutive sorted voxels spans only a few y-rows.
+    The windowed sparse-conv kernel exploits this: a 3x3x3 neighborhood
+    of a sorted tile lives in a key window of ~(tile span + 2 rows),
+    bounding its compare volume by O(window) instead of O(N).
+    """
     Z, Y, X = spatial_shape
-    return (coords_zyx[..., 0] * (Y * X)
-            + coords_zyx[..., 1] * X
-            + coords_zyx[..., 2]).astype(jnp.int32)
+    return ((coords_zyx[..., 1] * X + coords_zyx[..., 2]) * Z
+            + coords_zyx[..., 0]).astype(jnp.int32)
 
 
 def delinearize(keys, spatial_shape):
-    """(...,) keys → (..., 3) int32 zyx."""
+    """(...,) keys → (..., 3) int32 zyx (inverse of y-major linearize)."""
     Z, Y, X = spatial_shape
-    z = keys // (Y * X)
-    rem = keys - z * (Y * X)
-    y = rem // X
-    x = rem - y * X
+    z = keys % Z
+    q = keys // Z
+    x = q % X
+    y = q // X
     return jnp.stack([z, y, x], axis=-1).astype(jnp.int32)
 
 

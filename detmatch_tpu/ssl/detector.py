@@ -59,6 +59,12 @@ class SSLConfig:
     enable_2d: bool = True
     fusion: bool = True
     consistency: bool = True
+    # run the student's labeled+unlabeled 3D passes as ONE concatenated
+    # forward (halves the compiled program and fills the MXU better);
+    # losses are regrouped per sub-batch exactly (PVRCNN.loss_grouped).
+    # Deviation from the reference's two sequential passes: BatchNorm
+    # statistics are computed over the union batch.
+    concat_student_batch: bool = True
 
 
 def ema_decay_at(it, cfg: SSLConfig):
@@ -378,6 +384,79 @@ class SSLDetector:
         total = sum(sup_losses.values()) + w * sum(ssl_losses.values())
         logs.update(sup_losses)
         logs.update({f"ssl.unlab.{k}": v for k, v in ssl_losses.items()})
+        return total, dict(logs=logs, batch_stats=new_stats)
+
+    def student_losses_3d_concat(self, det3d_vars, batch, pseudo, it,
+                                 rng):
+        """det3d losses via ONE concatenated (labeled + unlabeled)
+        PV-RCNN pass with exact per-group loss regrouping
+        (``PVRCNN.loss_grouped``). Same semantics as
+        :meth:`student_losses_3d` up to BatchNorm batch statistics
+        (computed over the union batch here)."""
+        cfg = self.cfg
+        lab = batch["lab"]["stu"]
+        u_stu = batch["unlab"]["stu"]
+        bl = lab["points"].shape[0]
+        bu = u_stu["points"].shape[0]
+        pseudo_gt3d = pseudo_gt_from_boxset(
+            pseudo["m3d_stu"], cfg.pseudo_score_thr_3d, cfg.max_pseudo_gt)
+        g = max(lab["gt_boxes"].shape[1], pseudo_gt3d.shape[1])
+
+        def padg(x):
+            if x.shape[1] == g:
+                return x
+            pad = jnp.zeros((x.shape[0], g - x.shape[1], x.shape[2]),
+                            x.dtype)
+            return jnp.concatenate([x, pad], axis=1)
+
+        cat = {k: jnp.concatenate([lab[k], u_stu[k]], axis=0)
+               for k in ("points", "points_valid", "voxel_features",
+                         "voxel_keys")}
+        cat["gt_boxes"] = jnp.concatenate(
+            [padg(lab["gt_boxes"]), padg(pseudo_gt3d)], axis=0)
+
+        out, mut = self.pvrcnn.apply(
+            det3d_vars, cat, train=True,
+            rngs={"sampling": rng, "dropout": rng},
+            mutable=["batch_stats"])
+        w = ssl_weight_at(it, cfg)
+        mask_lab = jnp.arange(bl + bu) < bl
+        grouped = self.pvrcnn.apply(
+            det3d_vars, out, cat,
+            {"sup.3d": (mask_lab, 1.0),
+             "hard_pseudo_3d": (~mask_lab, w)},
+            method=PVRCNN.loss_grouped)
+        total = grouped.pop("loss")
+        logs = {k: v for k, v in grouped.items()}
+        new_stats = {"det3d": mut["batch_stats"]}
+
+        if cfg.consistency and cfg.fusion and cfg.enable_2d:
+            sub = {k: jax.tree.map(lambda x: x[bl:], out[k])
+                   for k in ("batch_box_preds_rcnn", "rcnn_cls",
+                             "roi_labels", "roi_scores_full")}
+            stu3d = self._det3d_student_boxes(sub)
+            stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
+                                               reverse=True)
+            stu3d_proj = modules.boxes_3d_to_2d(
+                stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
+            stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
+                                               *cfg.proj_nms_2d_cfg)
+            s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
+                stu3d_proj, pseudo["m2d_clean"], u_stu["lidar2img"],
+                u_stu["ori_shape"], cost_thr=cfg.cost_thr,
+                project_3d_to_2d=False)
+            logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
+            s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
+                                             reverse=False)
+            t2d_m_aug = modules.transform_2d(
+                boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
+            cw, lw, iw = cfg.consistency_weights
+            cons = modules.hungarian_consistency_loss(
+                s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
+                cls_w=cw, l1_w=lw, iou_w=iw)
+            for k, v in cons.items():
+                logs[f"2D_to_3D_hung.{k}"] = v
+                total = total + w * v
         return total, dict(logs=logs, batch_stats=new_stats)
 
     def student_losses_2d(self, det2d_vars, batch, pseudo, it, rng):

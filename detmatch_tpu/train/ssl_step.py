@@ -139,7 +139,9 @@ def make_ssl_train_fns_split(ssl: SSLDetector, tx3d, tx2d,
             return new_vars, new_opt, logs
         return fn
 
-    stu3d_fn = _branch_fn(tx3d, ssl.student_losses_3d, "det3d")
+    loss3d = (ssl.student_losses_3d_concat
+              if ssl.cfg.concat_student_batch else ssl.student_losses_3d)
+    stu3d_fn = _branch_fn(tx3d, loss3d, "det3d")
     stu2d_fn = _branch_fn(tx2d, ssl.student_losses_2d, None)
 
     def ema_fn(teacher, student, it):

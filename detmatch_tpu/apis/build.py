@@ -28,6 +28,7 @@ PIPELINE_REGISTRY = {
     "PhotoMetricAugs": pipelines.PhotoMetricAugs,
     "Normalize": pipelines.Normalize,
     "PadToCanvas": pipelines.PadToCanvas,
+    "MultiScaleFlipAug3D": pipelines.MultiScaleFlipAug3D,
 }
 
 
@@ -75,15 +76,87 @@ def build_dataset(cfg: Dict[str, Any], rng=None):
     return ds
 
 
+def _detector_registry():
+    from ..models.pvrcnn.caddn import CaDDN
+    from ..models.pvrcnn.parta2 import PartA2
+    from ..models.pvrcnn.pointpillars import PointPillars
+    from ..models.pvrcnn.pointrcnn import PointRCNN
+    from ..models.pvrcnn.second import SECOND, SECONDIoU
+    from ..models.pvrcnn.voxelrcnn import VoxelRCNN
+    return {
+        "PVRCNN": PVRCNN, "SECOND": SECOND, "SECONDNetIoU": SECONDIoU,
+        "PointPillar": PointPillars, "PartA2Net": PartA2,
+        "PointRCNN": PointRCNN, "VoxelRCNN": VoxelRCNN, "CaDDN": CaDDN,
+        "FasterRCNN": FasterRCNN,
+    }
+
+
+def build_detector(cfg: Dict[str, Any]):
+    """Registry-style detector construction (reference
+    ``pcdet/models/__init__.py:build_network`` /
+    ``mmdet3d/models/builder.py``): ``dict(type='PVRCNN', ...)``."""
+    cfg = dict(cfg)
+    t = cfg.pop("type", "PVRCNN")
+    return _detector_registry()[t](**cfg)
+
+
 def build_models(cfg: Dict[str, Any]):
-    pv = PVRCNN(**cfg.get("detector_3d", {}))
-    fr = FasterRCNN(**cfg.get("detector_2d", {}))
+    pv = build_detector(dict(cfg.get("detector_3d", {})))
+    fr = FasterRCNN(**{k: v for k, v in cfg.get("detector_2d", {}).items()
+                       if k != "type"})
     return pv, fr
+
+
+# Reference SSL module graph (``SSL_MODULES`` registry,
+# ``mmdet3d/models/builder.py:14``) → SSLConfig switches. Each entry
+# maps a reference module type to the config fields it sets; the
+# functional pipeline in SSLDetector realizes the same dataflow.
+def ssl_modules_to_config(modules: List[Dict[str, Any]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for m in modules or []:
+        m = dict(m)
+        t = m.pop("type")
+        if t == "MaxScoreFilter":
+            thr = m.get("score_thr", 0.1)
+            if m.get("is_3d", True):
+                out["score_filter_3d"] = thr
+            else:
+                out["score_filter_2d"] = thr
+        elif t == "FusionHungarianMatching":
+            out["fusion"] = True
+            if "cost_thr" in m:
+                out["cost_thr"] = m["cost_thr"]
+        elif t == "HungarianConsistency":
+            out["consistency"] = True
+            w = (m.get("cls_weight", 2.0), m.get("l1_weight", 20.0),
+                 m.get("iou_weight", 2.0))
+            out["consistency_weights"] = w
+        elif t == "HardPseudoLabel_2D":
+            out["enable_2d"] = True
+            out["pseudo_score_thr_2d"] = m.get("score_thr", 0.1)
+            out["hard_pseudo_2d_weight"] = m.get("weight", 4.0)
+        elif t == "Opd_HardPseudoLabel_3D":
+            out["enable_3d"] = True
+            out["pseudo_score_thr_3d"] = m.get("score_thr", 0.1)
+        elif t in ("Opd_SimpleTest_3D", "Opd_Supervised_3D"):
+            out["enable_3d"] = True
+        elif t in ("SimpleTest_2D", "TwoStageSupervised_2D",
+                   "BboxesNMS_2D", "BboxesTransform_2D",
+                   "BboxesTransform_3D", "DetachBboxes", "Bboxes3DTo2D",
+                   "AverageBboxes_2D", "NumPreds", "Vis3D", "Vis2D_Kitti"):
+            pass  # structural steps always present in the fused pipeline
+        else:
+            raise KeyError(f"unknown SSL module type: {t}")
+    return out
 
 
 def build_ssl(cfg: Dict[str, Any]) -> SSLDetector:
     pv, fr = build_models(cfg["model"])
-    ssl_cfg = SSLConfig(**cfg.get("ssl", {}))
+    ssl_kwargs = dict(cfg.get("ssl", {}))
+    for key in ("lab_modules", "unlab_modules"):
+        ssl_kwargs.update(ssl_modules_to_config(
+            cfg["model"].get(key, [])))
+    ssl_cfg = SSLConfig(**ssl_kwargs)
     return SSLDetector(pv, fr, ssl_cfg)
 
 

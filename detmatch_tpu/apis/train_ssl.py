@@ -28,6 +28,37 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("data",))
 
 
+def _dump_vis(work_dir, step, vbatch, pseudo):
+    """Training-loop visualization (the reference's Vis3D / Vis2D_Kitti
+    consumers feeding WandbVisHook, ``ssl_modules/consumers/visualize.py``
+    + ``core/utils/wandb_vis_hook.py``): renders the unlabeled sample's
+    BEV pseudo-labels and 2D pseudo-boxes to PNGs under work_dir/vis
+    (no wandb in this environment — files instead)."""
+    import numpy as np
+    from PIL import Image
+    from ..utils import visualize as V
+
+    out_dir = os.path.join(work_dir, "vis")
+    os.makedirs(out_dir, exist_ok=True)
+    u = jax.device_get(jax.tree.map(lambda x: x[:1],
+                                    vbatch["unlab"]["stu"]))
+    p = jax.device_get(jax.tree.map(lambda x: x[:1], pseudo))
+    pts = u["points"][0][u["points_valid"][0]]
+    if "m3d_stu" in p:
+        m3 = p["m3d_stu"]
+        boxes = m3["boxes"][0][np.asarray(m3["valid"][0])]
+        canvas = V.bev_canvas(pts, [boxes])
+        Image.fromarray(canvas).save(
+            os.path.join(out_dir, f"iter{step:06d}_bev.png"))
+    if "m2d_stu" in p and "img" in u:
+        img = V.denormalize_caffe(u["img"][0]).astype(np.uint8)
+        m2 = p["m2d_stu"]
+        img = V.draw_boxes_2d(np.ascontiguousarray(img), m2["boxes"][0],
+                              valid=np.asarray(m2["valid"][0]))
+        Image.fromarray(img[:, :, ::-1]).save(
+            os.path.join(out_dir, f"iter{step:06d}_2d.png"))
+
+
 def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
               work_dir, max_iters=5000, batch_size=4, lr_3d=None,
               lr_2d=None, num_unlabeled=1, log_interval=10,
@@ -35,7 +66,7 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
               resume_from: Optional[str] = None,
               load_from: Dict[str, str] = None,
               val_dataset=None, val_collate_fn=None, eval_interval=None,
-              profile_dir: Optional[str] = None):
+              profile_dir: Optional[str] = None, vis_interval=None):
     """Run DetMatch SSL training.
 
     LR autoscaling follows the reference recipe (``split_0.py:824-827``):
@@ -139,6 +170,8 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
                              time=dt / log_interval, mode="train")
                 logger.log(entry)
                 t0 = time.perf_counter()
+            if vis_interval and (it + 1) % vis_interval == 0:
+                _dump_vis(work_dir, it + 1, vbatch, pseudo)
             if (it + 1) % ckpt_interval == 0 or (it + 1) == max_iters:
                 checkpoints.save(
                     os.path.join(work_dir, "ckpt"),

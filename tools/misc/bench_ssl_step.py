@@ -1,0 +1,177 @@
+"""SSL train-step timing on the real chip (staged DetMatch step).
+
+Builds the full teacher/student pair at near-production scale
+(batch 4 labeled + 4 unlabeled, 8192 points, 12k voxels, 1024 keypoints,
+reduced 192x640 image canvas) and times each staged phase — teacher
+pseudo-labels, student-3d (concatenated lab+unlab pass), student-2d,
+EMA — chained, reporting SSL iters/sec for BASELINE.json's north star.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+from detmatch_tpu.core.transforms import Aug2D, Aug3D
+from detmatch_tpu.models.frcnn.faster_rcnn import FasterRCNN
+from detmatch_tpu.models.pvrcnn.pvrcnn import PVRCNN
+from detmatch_tpu.ops import voxelize
+from detmatch_tpu.ssl.detector import SSLConfig, SSLDetector
+from detmatch_tpu.train.ssl_step import (make_ssl_train_fns_split,
+                                         voxelize_views)
+
+PCR = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+CANVAS = (192, 640)
+B = 4
+P = 8192
+
+PV_CFG = dict(
+    num_classes=3, point_cloud_range=PCR, voxel_size=(0.05, 0.05, 0.1),
+    grid_size=(1408, 1600, 40), num_keypoints=1024,
+    backbone_caps=(12000, 9000, 7000, 7000),
+    train_nms=dict(nms_pre=1024, nms_post=128, nms_thresh=0.8),
+    test_nms=dict(nms_pre=1024, nms_post=100, nms_thresh=0.7))
+FR_CFG = dict(canvas=CANVAS)
+SPEC = voxelize.VoxelizerSpec(point_cloud_range=PCR,
+                              voxel_size=(0.05, 0.05, 0.1),
+                              max_voxels=12000, max_points=5)
+
+
+def _view(rng, b=B, p=P, with_gt=False):
+    pts = np.stack([
+        rng.rand(b, p) * 69 + 0.5, rng.rand(b, p) * 78 - 39,
+        rng.rand(b, p) * 3.5 - 2.8, rng.rand(b, p)], axis=-1
+    ).astype(np.float32)
+    view = dict(
+        points=jnp.asarray(pts),
+        points_valid=jnp.ones((b, p), bool),
+        img=jnp.asarray(rng.randn(b, *CANVAS, 3).astype(np.float32)),
+        img_shape=jnp.asarray(np.tile([[CANVAS[0], CANVAS[1]]], (b, 1)
+                                      ).astype(np.float32)),
+        ori_shape=jnp.asarray(np.tile([[375.0, 1242.0]], (b, 1))),
+        lidar2img=jnp.asarray(np.tile(np.array(
+            [[[0, -700, 0, 6200],
+              [0, 0, -700, 1800],
+              [1, 0, 0, 0],
+              [0, 0, 0, 1]]], np.float32), (b, 1, 1))),
+        aug3d=Aug3D(flip_x=jnp.zeros((b,)), rot=jnp.zeros((b,)),
+                    scale=jnp.ones((b,)), trans=jnp.zeros((b, 3))),
+        aug2d=Aug2D(scale=jnp.ones((b, 4)), flip=jnp.zeros((b,)),
+                    img_w=jnp.full((b,), float(CANVAS[1]))),
+    )
+    if with_gt:
+        g = 40
+        gt = np.zeros((b, g, 8), np.float32)
+        n = 20
+        gt[:, :n, 0] = rng.rand(b, n) * 60 + 3
+        gt[:, :n, 1] = rng.rand(b, n) * 70 - 35
+        gt[:, :n, 2] = -1.0
+        gt[:, :n, 3:6] = [3.9, 1.6, 1.56]
+        gt[:, :n, 6] = rng.rand(b, n) - 0.5
+        gt[:, :n, 7] = rng.randint(1, 4, (b, n))
+        view["gt_boxes"] = jnp.asarray(gt)
+        g2 = np.zeros((b, g, 4), np.float32)
+        g2[:, :n, :2] = rng.rand(b, n, 2) * 400
+        g2[:, :n, 2:] = g2[:, :n, :2] + 60
+        view["gt_boxes2d"] = jnp.asarray(g2)
+        view["gt_labels2d"] = jnp.asarray(
+            rng.randint(0, 3, (b, g)).astype(np.int32))
+        v2 = np.zeros((b, g), bool)
+        v2[:, :n] = True
+        view["gt2d_valid"] = jnp.asarray(v2)
+    return view
+
+
+def main():
+    rng = np.random.RandomState(0)
+    batch = dict(
+        lab=dict(stu=_view(rng, with_gt=True), tea=_view(rng)),
+        unlab=dict(stu=_view(rng), tea=_view(rng)),
+    )
+    pv = PVRCNN(**PV_CFG)
+    fr = FasterRCNN(**FR_CFG)
+    ssl = SSLDetector(pv, fr, SSLConfig())
+
+    key = jax.random.PRNGKey(0)
+    vbatch = voxelize_views(batch, SPEC)
+    lab3d = vbatch["lab"]["stu"]
+    t0 = time.time()
+    state = ssl.init_states(key, lab3d, lab3d["img"], lab3d["img_shape"])
+    print(f"[init {time.time() - t0:.0f}s]", flush=True)
+
+    # per-branch optimizers operate on single-branch trees
+    import optax
+    tx3 = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(1e-3))
+    tx2 = optax.chain(optax.clip_by_global_norm(10.0),
+                      optax.sgd(1e-3, momentum=0.9))
+    opt3 = tx3.init(state["student"]["det3d"]["params"])
+    opt2 = tx2.init(state["student"]["det2d"]["params"])
+
+    teacher_fn, stu3d_fn, stu2d_fn, ema_fn = make_ssl_train_fns_split(
+        ssl, tx3, tx2, SPEC)
+    jt = jax.jit(teacher_fn)
+    j3 = jax.jit(stu3d_fn)
+    j2 = jax.jit(stu2d_fn)
+    je = jax.jit(ema_fn)
+
+    def one_iter(state, opt3, opt2, it, key):
+        pseudo, vb = jt(state["teacher"], batch)
+        v3, opt3, logs3 = j3(state["student"]["det3d"], opt3, vb, pseudo,
+                             it, key)
+        v2, opt2, logs2 = j2(state["student"]["det2d"], opt2, vb, pseudo,
+                             it, key)
+        student = {"det3d": v3, "det2d": v2}
+        teacher = je(state["teacher"], student, it)
+        return ({"student": student, "teacher": teacher}, opt3, opt2,
+                logs3, logs2)
+
+    # compile each phase
+    names = ["teacher", "stu3d", "stu2d", "ema"]
+    t0 = time.time()
+    pseudo, vb = jt(state["teacher"], batch)
+    jax.block_until_ready(pseudo)
+    print(f"[compile teacher {time.time() - t0:.0f}s]", flush=True)
+    t0 = time.time()
+    v3, o3, l3 = j3(state["student"]["det3d"], opt3, vb, pseudo,
+                    jnp.int32(0), key)
+    jax.block_until_ready(l3)
+    print(f"[compile stu3d {time.time() - t0:.0f}s] "
+          f"loss={float(l3['loss']):.3f}", flush=True)
+    t0 = time.time()
+    v2, o2, l2 = j2(state["student"]["det2d"], opt2, vb, pseudo,
+                    jnp.int32(0), key)
+    jax.block_until_ready(l2)
+    print(f"[compile stu2d {time.time() - t0:.0f}s] "
+          f"loss={float(l2['loss']):.3f}", flush=True)
+    t0 = time.time()
+    tea = je(state["teacher"], {"det3d": v3, "det2d": v2}, jnp.int32(0))
+    jax.block_until_ready(tea)
+    print(f"[compile ema {time.time() - t0:.0f}s]", flush=True)
+
+    # chained timing of full iterations
+    st, q3, q2 = state, opt3, opt2
+    iters = 5
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            st, q3, q2, l3, l2 = one_iter(st, q3, q2, jnp.int32(i), key)
+        jax.block_until_ready(l3["loss"])
+        d = (time.perf_counter() - t0) / iters
+        best = d if best is None else min(best, d)
+    print(f"SSL step: {best * 1e3:.0f} ms/iter -> "
+          f"{1.0 / best:.2f} iters/s (batch {B}+{B})", flush=True)
+    print(f"samples/s: {(2 * B) / best:.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,27 @@ from ..layers import MaskedBatchNorm
 KAIMING = nn.initializers.he_normal(in_axis=(0, 1), out_axis=2)
 
 
+def static_level_meta(spatial_shape):
+    """Static (shape, stride) of every backbone level — pure config math,
+    usable outside traces (the jit-crossing ms aux must stay static)."""
+    shape1 = tuple(spatial_shape)
+    shape2 = spconv.output_spatial_shape(shape1, (3, 3, 3), (2, 2, 2),
+                                         (1, 1, 1))
+    shape3 = spconv.output_spatial_shape(shape2, (3, 3, 3), (2, 2, 2),
+                                         (1, 1, 1))
+    shape4 = spconv.output_spatial_shape(shape3, (3, 3, 3), (2, 2, 2),
+                                         (0, 1, 1))
+    shape_out = spconv.output_spatial_shape(shape4, (3, 1, 1), (2, 1, 1),
+                                            (0, 0, 0))
+    return {
+        "x_conv1": dict(shape=shape1, stride=1),
+        "x_conv2": dict(shape=shape2, stride=2),
+        "x_conv3": dict(shape=shape3, stride=4),
+        "x_conv4": dict(shape=shape4, stride=8),
+        "out": dict(shape=shape_out, stride=8),
+    }
+
+
 class VoxelBackbone8x(nn.Module):
     spatial_shape: Tuple[int, int, int]  # (Z, Y, X), e.g. (41, 1600, 1408)
     channels: Tuple[int, ...] = (16, 16, 32, 64, 64)

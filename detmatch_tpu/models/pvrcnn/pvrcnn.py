@@ -86,6 +86,17 @@ class PVRCNN(nn.Module):
         """
         ms = self.backbone3d(batch["voxel_features"], batch["voxel_keys"],
                              train=train)
+        return self.forward_from_ms(batch, ms, train=train)
+
+    def backbone_fwd(self, batch, train: bool = False):
+        """Segment 1 of the two-segment gradient split: just the sparse
+        backbone (compiled as its own XLA program; see
+        ``ssl_step.make_stu3d_segmented``)."""
+        return self.backbone3d(batch["voxel_features"],
+                               batch["voxel_keys"], train=train)
+
+    def forward_from_ms(self, batch, ms, train: bool = False):
+        """Everything after the 3D backbone (segment 2)."""
         spatial_features = height_compression(ms["out"])  # (B, H, W, 256)
         bev = self.bev_backbone(spatial_features, train=train)
         head_preds = self.anchor_head(bev)

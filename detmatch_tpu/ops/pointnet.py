@@ -121,10 +121,11 @@ def ball_query(centers, centers_valid, points, points_valid, radius,
         rank = jnp.cumsum(within.astype(jnp.int32), axis=1)  # inclusive
         cnt = jnp.minimum(rank[:, -1], nsample)
         wr = jnp.where(within & (rank <= nsample), rank, 0)
-        # slot s holds the index whose (unique) rank is s+1
-        idx = jnp.stack(
-            [jnp.sum(jnp.where(wr == s + 1, arange_n, 0), axis=1)
-             for s in range(nsample)], axis=1)  # (chunk, nsample)
+        # slot s holds the index whose (unique) rank is s+1; one fused
+        # 3D compare+reduce (an unrolled per-slot loop bloats the program)
+        eq = wr[:, :, None] == jnp.arange(1, nsample + 1,
+                                          dtype=jnp.int32)[None, None, :]
+        idx = jnp.sum(jnp.where(eq, arange_n[:, :, None], 0), axis=1)
         # broadcast first neighbor into empty slots (reference semantics)
         idx = jnp.where(slot_ar < jnp.maximum(cnt, 1)[:, None],
                         idx, idx[:, :1])

@@ -47,10 +47,10 @@ def roiaware_pool_capped(boxes, points, point_feats, points_valid,
     rank = jnp.cumsum(inside.astype(jnp.int32), axis=1)
     cnt = jnp.minimum(rank[:, -1], max_pts)
     wr = jnp.where(inside & (rank <= max_pts), rank, 0)  # (R, N)
-    arange_n = jnp.arange(n, dtype=jnp.int32)[None, :]
-    idx = jnp.stack(
-        [jnp.sum(jnp.where(wr == s + 1, arange_n, 0), axis=1)
-         for s in range(max_pts)], axis=1)  # (R, max_pts)
+    arange_n = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    eq = wr[:, :, None] == jnp.arange(1, max_pts + 1,
+                                      dtype=jnp.int32)[None, None, :]
+    idx = jnp.sum(jnp.where(eq, arange_n, 0), axis=1)  # (R, max_pts)
     slot_valid = jnp.arange(max_pts)[None, :] < cnt[:, None]
 
     sel_local = jnp.take_along_axis(local, idx[..., None], axis=1)

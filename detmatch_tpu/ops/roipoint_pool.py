@@ -36,10 +36,10 @@ def roipoint_pool(boxes, points, point_feats, points_valid,
     rank = jnp.cumsum(inside.astype(jnp.int32), axis=1)
     cnt = jnp.minimum(rank[:, -1], num_sampled)
     wr = jnp.where(inside & (rank <= num_sampled), rank, 0)
-    arange_n = jnp.arange(n, dtype=jnp.int32)[None, :]
-    idx = jnp.stack(
-        [jnp.sum(jnp.where(wr == s + 1, arange_n, 0), axis=1)
-         for s in range(num_sampled)], axis=1)  # (R, K)
+    arange_n = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    eq = wr[:, :, None] == jnp.arange(1, num_sampled + 1,
+                                      dtype=jnp.int32)[None, None, :]
+    idx = jnp.sum(jnp.where(eq, arange_n, 0), axis=1)  # (R, K)
     slot_valid = jnp.arange(num_sampled)[None, :] < jnp.maximum(cnt, 1)[:, None]
     idx = jnp.where(slot_valid, idx, idx[:, :1])  # repeat first point
 

@@ -386,6 +386,149 @@ class SSLDetector:
         logs.update({f"ssl.unlab.{k}": v for k, v in ssl_losses.items()})
         return total, dict(logs=logs, batch_stats=new_stats)
 
+    def _concat_student_batch(self, batch, pseudo):
+        """Concatenate labeled (real gt) + unlabeled (pseudo gt) student
+        views into one PV-RCNN batch; returns (cat, n_labeled)."""
+        cfg = self.cfg
+        lab = batch["lab"]["stu"]
+        u_stu = batch["unlab"]["stu"]
+        pseudo_gt3d = pseudo_gt_from_boxset(
+            pseudo["m3d_stu"], cfg.pseudo_score_thr_3d, cfg.max_pseudo_gt)
+        g = max(lab["gt_boxes"].shape[1], pseudo_gt3d.shape[1])
+
+        def padg(x):
+            if x.shape[1] == g:
+                return x
+            pad = jnp.zeros((x.shape[0], g - x.shape[1], x.shape[2]),
+                            x.dtype)
+            return jnp.concatenate([x, pad], axis=1)
+
+        cat = {k: jnp.concatenate([lab[k], u_stu[k]], axis=0)
+               for k in ("points", "points_valid", "voxel_features",
+                         "voxel_keys")}
+        cat["gt_boxes"] = jnp.concatenate(
+            [padg(lab["gt_boxes"]), padg(pseudo_gt3d)], axis=0)
+        return cat, lab["points"].shape[0]
+
+    def _stu3d_grouped_losses(self, det3d_vars, out, cat, bl, batch,
+                              pseudo, it):
+        """Grouped sup/pseudo losses + consistency from a concat-batch
+        forward output. Returns (total, logs)."""
+        cfg = self.cfg
+        u_stu = batch["unlab"]["stu"]
+        w = ssl_weight_at(it, cfg)
+        b = cat["points"].shape[0]
+        mask_lab = jnp.arange(b) < bl
+        grouped = self.pvrcnn.apply(
+            det3d_vars, out, cat,
+            {"sup.3d": (mask_lab, 1.0),
+             "hard_pseudo_3d": (~mask_lab, w)},
+            method=PVRCNN.loss_grouped)
+        total = grouped.pop("loss")
+        logs = {k: v for k, v in grouped.items()}
+
+        if cfg.consistency and cfg.fusion and cfg.enable_2d:
+            sub = {k: jax.tree.map(lambda x: x[bl:], out[k])
+                   for k in ("batch_box_preds_rcnn", "rcnn_cls",
+                             "roi_labels", "roi_scores_full")}
+            stu3d = self._det3d_student_boxes(sub)
+            stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
+                                               reverse=True)
+            stu3d_proj = modules.boxes_3d_to_2d(
+                stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
+            stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
+                                               *cfg.proj_nms_2d_cfg)
+            s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
+                stu3d_proj, pseudo["m2d_clean"], u_stu["lidar2img"],
+                u_stu["ori_shape"], cost_thr=cfg.cost_thr,
+                project_3d_to_2d=False)
+            logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
+            s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
+                                             reverse=False)
+            t2d_m_aug = modules.transform_2d(
+                boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
+            cw, lw, iw = cfg.consistency_weights
+            cons = modules.hungarian_consistency_loss(
+                s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
+                cls_w=cw, l1_w=lw, iou_w=iw)
+            for k, v in cons.items():
+                logs[f"2D_to_3D_hung.{k}"] = v
+                total = total + w * v
+        return total, logs
+
+    # ---- two-segment gradient (backbone | heads) -------------------
+    # The fused student-3d fwd+bwd program exceeds the TPU compile
+    # helper's memory cap; splitting the gradient at the multi-scale
+    # feature boundary yields three modest programs. The backbone is
+    # recomputed in the backward segment (cheap: ~19 ms fwd).
+
+    @staticmethod
+    def split_ms(ms):
+        """Split backbone output into (feats, dynamic aux arrays); the
+        static shape/stride meta must NOT cross jit boundaries (it would
+        become traced) — it is re-attached from config via _ms_meta."""
+        feats = {k: lv["feats"] for k, lv in ms.items()
+                 if isinstance(lv, dict) and "feats" in lv}
+        aux = {k: {kk: lv[kk] for kk in ("keys", "mask")}
+               for k, lv in ms.items()
+               if isinstance(lv, dict) and "feats" in lv}
+        return feats, aux
+
+    def _ms_meta(self):
+        from ..models.pvrcnn.backbone3d import static_level_meta
+        gx, gy, gz = self.pvrcnn.grid_size
+        return static_level_meta((int(gz) + 1, int(gy), int(gx)))
+
+    def stu3d_seg_backbone(self, det3d_vars, batch, pseudo):
+        """Segment 1: concat batch + backbone forward (no grads)."""
+        cat, bl = self._concat_student_batch(batch, pseudo)
+        ms, mut = self.pvrcnn.apply(det3d_vars, cat, train=True,
+                                    mutable=["batch_stats"],
+                                    method=PVRCNN.backbone_fwd)
+        feats, aux = self.split_ms(ms)
+        return cat, feats, aux, mut["batch_stats"]
+
+    def stu3d_seg_heads(self, det3d_vars, cat, ms_feats, ms_aux, batch,
+                        pseudo, it, rng):
+        """Segment 2: heads fwd+bwd w.r.t. (params, backbone features)."""
+        bl = batch["lab"]["stu"]["points"].shape[0]
+
+        meta = self._ms_meta()
+
+        def loss_fn(p, feats):
+            v = dict(det3d_vars, params=p)
+            ms = {k: dict(ms_aux[k], feats=feats[k], **meta[k])
+                  for k in feats}
+            out, mut = self.pvrcnn.apply(
+                v, cat, ms, train=True,
+                rngs={"sampling": rng, "dropout": rng},
+                mutable=["batch_stats"],
+                method=PVRCNN.forward_from_ms)
+            total, logs = self._stu3d_grouped_losses(
+                v, out, cat, bl, batch, pseudo, it)
+            return total, (logs, mut["batch_stats"])
+
+        (total, (logs, head_stats)), (g_params, g_feats) = \
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                det3d_vars["params"], ms_feats)
+        logs["loss"] = total
+        return g_params, g_feats, logs, head_stats
+
+    def stu3d_seg_bb_bwd(self, det3d_vars, cat, g_feats):
+        """Segment 3: recompute the backbone under vjp and pull the
+        feature cotangents back to backbone-parameter gradients."""
+        def f(p):
+            v = dict(det3d_vars, params=p)
+            ms, _ = self.pvrcnn.apply(v, cat, train=True,
+                                      mutable=["batch_stats"],
+                                      method=PVRCNN.backbone_fwd)
+            feats, _ = self.split_ms(ms)
+            return feats
+
+        _, vjp = jax.vjp(f, det3d_vars["params"])
+        (g_backbone,) = vjp(g_feats)
+        return g_backbone
+
     def student_losses_3d_concat(self, det3d_vars, batch, pseudo, it,
                                  rng):
         """det3d losses via ONE concatenated (labeled + unlabeled)

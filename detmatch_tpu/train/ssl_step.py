@@ -152,6 +152,48 @@ def make_ssl_train_fns_split(ssl: SSLDetector, tx3d, tx2d,
     return teacher_fn, stu3d_fn, stu2d_fn, ema_fn
 
 
+def make_stu3d_segmented(ssl: SSLDetector, tx3):
+    """Student-3d step as THREE separately-jitted programs (the fused
+    fwd+bwd exceeds the TPU compile helper's memory cap):
+
+        seg1: concat batch + backbone forward           (no grads)
+        seg2: heads fwd+bwd w.r.t. (params, backbone features)
+        seg3: backbone recompute under vjp + grad merge + optimizer
+
+    Exact same gradients as the fused step (the boundary is a true
+    rematerialization point); backbone forward runs twice per iter.
+
+    Returns stu3d(det3d_vars, opt_state, batch, pseudo, it, rng) →
+    (new_vars, new_opt, logs); NOT itself jittable — it chains jits.
+    """
+    seg1 = jax.jit(lambda v, b, p: ssl.stu3d_seg_backbone(v, b, p))
+    seg2 = jax.jit(lambda v, cat, f, a, b, p, it, rng:
+                   ssl.stu3d_seg_heads(v, cat, f, a, b, p, it, rng))
+
+    def _seg3(v, opt_state, cat, g_feats, g_params, head_stats, bb_stats):
+        g_backbone = ssl.stu3d_seg_bb_bwd(v, cat, g_feats)
+        grads = jax.tree.map(jnp.add, g_params, g_backbone)
+        updates, new_opt = tx3.update(grads, opt_state, v["params"])
+        new_params = optax.apply_updates(v["params"], updates)
+        # heads' stats from seg2, backbone's from seg1
+        stats = dict(head_stats)
+        stats["backbone3d"] = bb_stats["backbone3d"]
+        new_vars = dict(v, params=new_params, batch_stats=stats)
+        return new_vars, new_opt
+
+    seg3 = jax.jit(_seg3)
+
+    def stu3d(det3d_vars, opt_state, batch, pseudo, it, rng):
+        cat, feats, aux, bb_stats = seg1(det3d_vars, batch, pseudo)
+        g_params, g_feats, logs, head_stats = seg2(
+            det3d_vars, cat, feats, aux, batch, pseudo, it, rng)
+        new_vars, new_opt = seg3(det3d_vars, opt_state, cat, g_feats,
+                                 g_params, head_stats, bb_stats)
+        return new_vars, new_opt, logs
+
+    return stu3d
+
+
 def _extract_params(student):
     return {det: v["params"] for det, v in student.items()}
 

@@ -27,6 +27,7 @@ from detmatch_tpu.models.pvrcnn.pvrcnn import PVRCNN
 from detmatch_tpu.ops import voxelize
 from detmatch_tpu.ssl.detector import SSLConfig, SSLDetector
 from detmatch_tpu.train.ssl_step import (make_ssl_train_fns_split,
+                                         make_stu3d_segmented,
                                          voxelize_views)
 
 PCR = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)

@@ -125,8 +125,9 @@ def assign_targets(anchors_flat, per_anchor_class, gt_boxes, match_thr,
         gt_boxes: (M, 8) padded with zero rows; last col = 1-based class.
         match_thr / unmatch_thr: (A,) per-anchor thresholds.
     Returns:
-        labels (A,) int32: -1 ignore / 0 bg / 1..C fg class;
-        reg_targets (A, 7); reg_weights (A,).
+        (fg (A,) bool, neg (A,) bool, a2g_arg (A,) int32) — the caller
+        gathers the assigned gt rows (fenced, batch-flattened) and builds
+        labels/targets.
     """
     gt_cls = gt_boxes[:, 7].astype(jnp.int32)
     gt_valid = gt_cls > 0
@@ -146,12 +147,10 @@ def assign_targets(anchors_flat, per_anchor_class, gt_boxes, match_thr,
     pos = a2g_max >= match_thr
     neg = (a2g_max < unmatch_thr) & ~forced
     fg = pos | forced
-    labels = jnp.where(fg, gt_cls[a2g_arg], jnp.where(neg, 0, -1))
-
-    tgt = coder.encode(gt_boxes[a2g_arg, :7], anchors_flat)
-    reg_targets = jnp.where(fg[:, None], tgt, 0.0)
-    reg_weights = fg.astype(jnp.float32)
-    return labels, reg_targets, reg_weights
+    # the (A,)-row gathers of assigned gt boxes happen OUTSIDE (fenced,
+    # batch-flattened): an in-graph gather here lowers to a serial
+    # per-anchor dynamic-slice loop on TPU (~2 s for 1.7M anchors)
+    return fg, neg, a2g_arg
 
 
 class AnchorHeadSingle(nn.Module):
@@ -209,9 +208,16 @@ class AnchorHeadSingle(nn.Module):
         ut = jnp.asarray(np.array(
             [cfg["unmatched_threshold"] for cfg in self.anchor_configs],
             np.float32))[pac]
-        return jax.vmap(
+        fg, neg, a2g = jax.vmap(
             lambda gb: assign_targets(anchors, pac, gb, mt, ut, self.coder)
         )(gt_boxes)
+        from ...ops.pointnet import gather_rows
+        assigned = gather_rows(gt_boxes, a2g)  # (B, A, 8), fenced
+        gt_cls = assigned[..., 7].astype(jnp.int32)
+        labels = jnp.where(fg, gt_cls, jnp.where(neg, 0, -1))
+        tgt = self.coder.encode(assigned[..., :7], anchors[None])
+        reg_targets = jnp.where(fg[..., None], tgt, 0.0)
+        return labels, reg_targets, fg.astype(jnp.float32)
 
     def loss_per_sample(self, preds, targets):
         """Per-sample loss components (each (B,)): the reference's

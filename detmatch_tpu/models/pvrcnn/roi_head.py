@@ -323,15 +323,23 @@ class PVRCNNHead(nn.Module):
         outs = []
         for gi, (r, ns, mlp) in enumerate(zip(
                 self.pool_radii, self.pool_nsamples, self.pool_mlps)):
-            grouped, slot_valid, cnt = batched_group(
-                grid, grid_valid, keypoints, kp_valid, pf, r, ns)
-            out = MLP(tuple(mlp), name=f"pool_mlp{gi}",
-                      use_running_average=self.use_running_average)(
-                grouped, mask=slot_valid, use_running_average=not train)
-            out = jnp.where(slot_valid[..., None], out, -1e10)
-            pooled = jnp.max(out, axis=2)
-            pooled = jnp.where((cnt > 0)[..., None], pooled, 0.0)
-            outs.append(pooled)
+            # remat the group+MLP+pool region: its grouped
+            # (B, R*G^3, ns, C) tensor is the model's biggest activation
+            # (~2 GB at train batch 8) — recompute it in the backward
+            def pool_group(mdl, grid_, gv_, kp_, kpv_, pf_, gi=gi, r=r,
+                           ns=ns, mlp=mlp):
+                grouped, slot_valid, cnt = batched_group(
+                    grid_, gv_, kp_, kpv_, pf_, r, ns)
+                out = MLP(tuple(mlp), name=f"pool_mlp{gi}",
+                          use_running_average=mdl.use_running_average)(
+                    grouped, mask=slot_valid,
+                    use_running_average=not train)
+                out = jnp.where(slot_valid[..., None], out, -1e10)
+                pooled = jnp.max(out, axis=2)
+                return jnp.where((cnt > 0)[..., None], pooled, 0.0)
+
+            outs.append(nn.remat(pool_group)(
+                self, grid, grid_valid, keypoints, kp_valid, pf))
         pooled = jnp.concatenate(outs, axis=-1)  # (B, N*G^3, C)
 
         # (B, N, G^3 * C) — reference reshapes (BN, C, G, G, G) then

@@ -175,6 +175,10 @@ class VoxelSetAbstraction(nn.Module):
                  point_features_before_fusion (B, M, C_in)).
         """
         sa_cfg = self.sa_cfg or self._default_sa_cfg()
+        # remat the SA branches: their grouped (B, M, ns, C) tensors are
+        # the largest activations in the model; recomputing them in the
+        # backward pass keeps the SSL step inside HBM at batch 8
+        SAB = nn.remat(SABranch, static_argnums=(6,))
 
         kp_idx = jax.vmap(pointnet.farthest_point_sample,
                           (0, 0, None))(points[..., :3], points_valid,
@@ -193,23 +197,23 @@ class VoxelSetAbstraction(nn.Module):
         bev_pt = bilinear_interpolate_batched(bev_features, x_idx, y_idx)
         feats_list.append(bev_pt)
 
-        feats_list.append(SABranch(
+        feats_list.append(SAB(
             name="sa_raw_points",
             use_running_average=self.use_running_average,
             **sa_cfg["raw_points"])(
             keypoints, kp_valid, points[..., :3], points_valid,
-            points[..., 3:], train=train))
+            points[..., 3:], train))
 
         for name in ("x_conv1", "x_conv2", "x_conv3", "x_conv4"):
             lv = ms_features[name]
             centers = voxel_centers(lv["keys"], lv["shape"], lv["stride"],
                                     self.voxel_size, pcr)
-            feats_list.append(SABranch(
+            feats_list.append(SAB(
                 name=f"sa_{name}",
                 use_running_average=self.use_running_average,
                 **sa_cfg[name])(
                 keypoints, kp_valid, centers, lv["mask"], lv["feats"],
-                train=train))
+                train))
 
         before_fusion = jnp.concatenate(feats_list, axis=-1)
         fused = nn.Dense(self.num_out_features, use_bias=False,

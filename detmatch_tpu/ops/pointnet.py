@@ -27,11 +27,39 @@ import jax.numpy as jnp
 BIG_DIST = 1e10
 
 
-def gather_rows(x, idx):
-    """Batched row gather, MXU one-hot on TPU / flat gather elsewhere.
+@jax.custom_vjp
+def _fenced_take_rows(x2d, flat_idx):
+    """Flat row gather with barriers on both sides.
 
-    TPU dynamic row gathers run at ~10M rows/s (latency-bound); the
-    pallas one-hot matmul kernel moves the same data at MXU speed.
+    XLA-TPU lowers an ISOLATED row gather as a fast bulk copy (~1 ms for
+    324k rows) but degrades ~36x when the gather fuses with its index
+    producer or consumer — the optimization_barriers pin the fast path
+    (measured; see tools/misc/bench_lookup2.py). The custom VJP fences
+    the transposed scatter-add the same way (XLA's default gather
+    transpose was ~16x the forward cost inside the SSL step)."""
+    src = jax.lax.optimization_barrier(x2d)
+    i = jax.lax.optimization_barrier(flat_idx)
+    return jax.lax.optimization_barrier(src[i])
+
+
+def _fenced_take_fwd(x2d, flat_idx):
+    return _fenced_take_rows(x2d, flat_idx), (flat_idx, x2d.shape)
+
+
+def _fenced_take_bwd(res, g):
+    flat_idx, shape = res
+    i = jax.lax.optimization_barrier(flat_idx)
+    gg = jax.lax.optimization_barrier(g)
+    dx = jnp.zeros(shape, g.dtype).at[i].add(gg)
+    return jax.lax.optimization_barrier(dx), None
+
+
+_fenced_take_rows.defvjp(_fenced_take_fwd, _fenced_take_bwd)
+
+
+def gather_rows(x, idx):
+    """Batched row gather via a barrier-fenced flat gather (fenced
+    scatter-add backward).
 
     Args:
         x: (B, N, C); idx: (B, ...) int32 row indices into N.
@@ -42,11 +70,7 @@ def gather_rows(x, idx):
     base = jnp.arange(b, dtype=jnp.int32).reshape(
         (b,) + (1,) * (idx.ndim - 1)) * n
     flat = (idx + base).reshape(-1)
-    if jax.default_backend() == "tpu":
-        from .pallas.onehot_rows import onehot_take_rows
-        out = onehot_take_rows(x.reshape(b * n, c), flat)
-    else:
-        out = x.reshape(b * n, c)[flat]
+    out = _fenced_take_rows(x.reshape(b * n, c), flat)
     return out.reshape(idx.shape + (c,))
 
 

@@ -92,7 +92,7 @@ def _view(rng, b=B, p=P, with_gt=False):
     return view
 
 
-def main():
+def main(per_phase=False):
     rng = np.random.RandomState(0)
     batch = dict(
         lab=dict(stu=_view(rng, with_gt=True), tea=_view(rng)),
@@ -100,7 +100,9 @@ def main():
     )
     pv = PVRCNN(**PV_CFG)
     fr = FasterRCNN(**FR_CFG)
-    ssl = SSLDetector(pv, fr, SSLConfig())
+    import os as _os
+    _cons = _os.environ.get("SSL_CONSISTENCY", "1") == "1"
+    ssl = SSLDetector(pv, fr, SSLConfig(consistency=_cons))
 
     key = jax.random.PRNGKey(0)
     vbatch = voxelize_views(batch, SPEC)
@@ -158,6 +160,67 @@ def main():
     jax.block_until_ready(tea)
     print(f"[compile ema {time.time() - t0:.0f}s]", flush=True)
 
+    if per_phase:
+        from detmatch_tpu.train.ssl_step import make_stu3d_segmented as _ms
+        _seg1 = jax.jit(lambda v, b, p: ssl.stu3d_seg_backbone(v, b, p))
+        _cat, _feats, _aux, _bbs = _seg1(state["student"]["det3d"], vb,
+                                         pseudo)
+        _seg2 = jax.jit(lambda v, cat, f, a, b, p, it, rng:
+                        ssl.stu3d_seg_heads(v, cat, f, a, b, p, it, rng))
+        _g_params, _g_feats, _logs, _hs = _seg2(
+            state["student"]["det3d"], _cat, _feats, _aux, vb, pseudo,
+            jnp.int32(0), key)
+        _seg3 = jax.jit(lambda v, cat, gf: ssl.stu3d_seg_bb_bwd(v, cat,
+                                                                gf))
+        _gb = _seg3(state["student"]["det3d"], _cat, _g_feats)
+        jax.block_until_ready(_gb)
+
+        _meta = ssl._ms_meta()
+
+        def _fwd_only(v, cat, f, a):
+            ms = {k: dict(a[k], feats=f[k], **_meta[k]) for k in f}
+            from detmatch_tpu.models.pvrcnn.pvrcnn import PVRCNN as _PV
+            out, mut = ssl.pvrcnn.apply(
+                v, cat, ms, train=True,
+                rngs={"sampling": key, "dropout": key},
+                mutable=["batch_stats"], method=_PV.forward_from_ms)
+            return out["rcnn_cls"].sum() + out["rcnn_reg"].sum()
+        _jf = jax.jit(_fwd_only)
+        _o = _jf(state["student"]["det3d"], _cat, _feats, _aux)
+        jax.block_until_ready(_o)
+
+        def time_phase(name, fn, *args, iters=3):
+            out = fn(*args)
+            jax.block_until_ready(out)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                o = None
+                for _ in range(iters):
+                    o = fn(*args)
+                jax.block_until_ready(o)
+                d = (time.perf_counter() - t0) / iters
+                best = d if best is None else min(best, d)
+            print(f"phase {name:<10} {best * 1e3:8.0f} ms", flush=True)
+
+        time_phase("seg2-fwdonly", lambda: _jf(
+            state["student"]["det3d"], _cat, _feats, _aux))
+        time_phase("seg1-bb-fwd", lambda: _seg1(
+            state["student"]["det3d"], vb, pseudo))
+        time_phase("seg2-heads", lambda: _seg2(
+            state["student"]["det3d"], _cat, _feats, _aux, vb, pseudo,
+            jnp.int32(0), key))
+        time_phase("seg3-bb-bwd", lambda: _seg3(
+            state["student"]["det3d"], _cat, _g_feats))
+        time_phase("teacher", jt, state["teacher"], batch)
+        time_phase("stu3d", lambda: j3(state["student"]["det3d"], opt3,
+                                       vb, pseudo, jnp.int32(0), key))
+        time_phase("stu2d", lambda: j2(state["student"]["det2d"], opt2,
+                                       vb, pseudo, jnp.int32(0), key))
+        time_phase("ema", lambda: je(state["teacher"],
+                                     {"det3d": v3, "det2d": v2},
+                                     jnp.int32(0)))
+
     # chained timing of full iterations
     st, q3, q2 = state, opt3, opt2
     iters = 5
@@ -175,4 +238,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(per_phase="--phases" in sys.argv)
+
+
+def phase_timing():
+    """Per-phase chained timing (run after main() compiles everything —
+    invoked with PHASES=1)."""
+    main(per_phase=True)

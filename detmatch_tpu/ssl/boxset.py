@@ -66,3 +66,16 @@ def average(bs1, bs2):
 def num_valid(bs):
     """NumPreds metric (``metrics.py:10-24``): mean #boxes per image."""
     return jnp.mean(jnp.sum(bs["valid"].astype(jnp.float32), axis=-1))
+
+
+def topk(bs, k):
+    """Compact a BoxSet to its k highest-scoring valid slots.
+
+    Exact (a pure re-indexing) whenever the set has <= k valid boxes —
+    the common case after max_score_filter; used to bound the Hungarian
+    matcher's square cost matrix (O(K^3) augmenting loop).
+    """
+    score = jnp.where(bs["valid"], jnp.max(bs["scores"], axis=-1), -1e30)
+    _, idx = jax.lax.top_k(score, k)  # (B, k)
+    taken_valid = jnp.take_along_axis(bs["valid"], idx, axis=1)
+    return gather(bs, idx, taken_valid)

@@ -87,7 +87,7 @@ def nms_2d_boxset(bs, score_thr, iou_thr, max_num):
 def fusion_hungarian_matching(bs3d, bs2d, lidar2img, ori_shape,
                               cost_thr=-1.5,
                               cls_weight=2.0, l1_weight=5.0, iou_weight=2.0,
-                              project_3d_to_2d=True):
+                              project_3d_to_2d=True, max_match=128):
     """FusionHungarianMatching (``processors_fusion.py:52-223``).
 
     Projects teacher 3D boxes to 2D (optionally), builds the DETR-style cost
@@ -100,6 +100,15 @@ def fusion_hungarian_matching(bs3d, bs2d, lidar2img, ori_shape,
             project_3d_to_2d=False); bs2d: 2D BoxSet.
         ori_shape: (B, 2) per-image un-augmented (h, w) for normalization.
     """
+    # bound the square assignment problem: the JV augmenting loop is
+    # O(K^3) sequential (~450 ms at K=500 on v5e); compacting to the
+    # top-scoring valid slots is exact while <= max_match boxes survive
+    # the score filters
+    if max_match is not None:
+        if bs3d["boxes"].shape[1] > max_match:
+            bs3d = boxset.topk(bs3d, max_match)
+        if bs2d["boxes"].shape[1] > max_match:
+            bs2d = boxset.topk(bs2d, max_match)
     if project_3d_to_2d:
         proj = boxes_3d_to_2d(
             dict(boxes=bs3d["boxes"], scores=bs3d["scores"],

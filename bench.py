@@ -1,18 +1,22 @@
-"""Benchmark: PV-RCNN inference throughput on the real chip.
+"""Benchmark on the real chip. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline: the FULL DetMatch SSL train step (teacher pseudo-labels +
+student 3d fwd/bwd/opt + student 2d fwd/bwd/opt + EMA) at the
+reference's production per-GPU recipe — batch 4 labeled + 4 unlabeled,
+18k-point realistic ray-cast clouds, 16k-voxel cap, 2048 keypoints,
+384x1280 canvas (``configs/detmatch/001/detmatch/split_0.py``). This is
+BASELINE.json's north-star workload.
 
-Methodology mirrors the reference's
-``tools/analysis_tools/benchmark.py:30-90`` (warmup then steady-state
-timing) with chained-dependency timing: each iteration's input depends on
-the previous output, so async dispatch can't overlap or dedupe executions
-(required on tunneled backends where block_until_ready under-measures).
+vs_baseline divides by the documented reference estimate of 1.6
+samples/s per GPU (5 s/iter at 4+4; derivation in
+``detmatch_tpu/benchmarks.py`` and ``docs/benchmarks.md`` — deliberately
+conservative in the reference's favor).
 
-Headline metric: batched inference throughput at B=4 (TPUs are
-throughput devices; batch 4 matches the per-GPU batch of the reference
-recipe). vs_baseline divides by the ~10 FPS the reference PV-RCNN
-sustains on its era's GPUs (OpenPCDet model zoo methodology). B=1
-latency is printed as a secondary (non-JSON) line.
+Timing is chained-dependency (state of iter i feeds iter i+1): required
+on tunneled backends where ``block_until_ready`` under-measures.
+
+``BENCH=infer`` switches to the round-1 PV-RCNN inference headline.
 """
 import json
 import os
@@ -44,14 +48,14 @@ def _chained_time(jfn, batch0, iters):
     return dt / iters
 
 
-def main():
+def bench_infer():
     import __graft_entry__ as g
     from detmatch_tpu.models.pvrcnn.pvrcnn import PVRCNN
 
     model = PVRCNN(**g.ENTRY_CFG)
 
     def make(b):
-        batch = g._make_batch(g.ENTRY_CFG, b=b, p=8192, max_voxels=12000)
+        batch = g._make_batch(g.ENTRY_CFG, b=b, p=16384, max_voxels=16000)
         variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                                train=False)
         jfn = jax.jit(lambda bt: model.apply(variables, bt, train=False))
@@ -75,5 +79,22 @@ def main():
     }))
 
 
+def bench_ssl():
+    from detmatch_tpu import benchmarks
+
+    res = benchmarks.ssl_step_bench(
+        b=4, reduced=os.environ.get("REDUCED", "0") == "1",
+        log=lambda *a: print("#", *a, flush=True))
+    print(json.dumps({
+        "metric": "detmatch_ssl_samples_per_sec_per_chip",
+        "value": round(res["samples_per_sec"], 3),
+        "unit": "samples/sec (4 lab + 4 unlab per iter)",
+        "vs_baseline": round(res["vs_ref_per_device"], 3),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH", "ssl") == "infer":
+        bench_infer()
+    else:
+        bench_ssl()

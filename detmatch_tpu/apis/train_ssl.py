@@ -57,6 +57,20 @@ def _dump_vis(work_dir, step, vbatch, pseudo):
                               valid=np.asarray(m2["valid"][0]))
         Image.fromarray(img[:, :, ::-1]).save(
             os.path.join(out_dir, f"iter{step:06d}_2d.png"))
+    if ("m3d_stu" in p and "m2d_stu" in p and "img" in u
+            and "lidar2img" in u):
+        # fusion-matched pair canvas (reference Vis2D_Kitti,
+        # consumers/visualize.py:40-310): m3d_stu[i] ↔ m2d_stu[i]
+        m3, m2 = p["m3d_stu"], p["m2d_stu"]
+        img = V.denormalize_caffe(u["img"][0]).astype(np.uint8)
+        pair = V.matched_pair_canvas(
+            np.ascontiguousarray(img), m3["boxes"][0], m2["boxes"][0],
+            np.asarray(m3["valid"][0]) & np.asarray(m2["valid"][0]),
+            u["lidar2img"][0], u["img_shape"][0],
+            scores3d=np.asarray(m3["scores"][0]),
+            scores2d=np.asarray(m2["scores"][0]))
+        Image.fromarray(pair[:, :, ::-1]).save(
+            os.path.join(out_dir, f"iter{step:06d}_pairs.png"))
 
 
 def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
@@ -65,8 +79,10 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
               ckpt_interval=5000, seed=0, mesh: Optional[Mesh] = None,
               resume_from: Optional[str] = None,
               load_from: Dict[str, str] = None,
+              load_from_with_optimizer: Optional[str] = None,
               val_dataset=None, val_collate_fn=None, eval_interval=None,
-              profile_dir: Optional[str] = None, vis_interval=None):
+              profile_dir: Optional[str] = None, vis_interval=None,
+              tensorboard=False):
     """Run DetMatch SSL training.
 
     LR autoscaling follows the reference recipe (``split_0.py:824-827``):
@@ -74,6 +90,10 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
     """
     os.makedirs(work_dir, exist_ok=True)
     logger = JsonlLogger(os.path.join(work_dir, "log.json"))
+    if tensorboard:
+        from ..utils.logging import MultiLogger, TensorBoardSink
+        logger = MultiLogger(logger, TensorBoardSink(
+            os.path.join(work_dir, "tb")))
     mesh = mesh or make_mesh()
     if lr_3d is None:
         lr_3d = 1e-3 / 2 * batch_size * (1 + num_unlabeled) * 10
@@ -110,6 +130,13 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
                                            opt_state=opt_state))
         state, opt_state = payload["state"], payload["opt_state"]
         start_iter = step_n
+    elif load_from_with_optimizer:
+        # bootstrapped resume (reference apis/ssl_train.py:157-166):
+        # model + optimizer restored, iteration counter reset
+        payload, start_iter = checkpoints.load_from_with_optimizer(
+            load_from_with_optimizer,
+            dict(state=state, opt_state=opt_state))
+        state, opt_state = payload["state"], payload["opt_state"]
     elif load_from:
         for det_key, path in load_from.items():
             step_n = checkpoints.latest_step(path)
@@ -159,6 +186,12 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
             logs = dict(logs3)
             logs.update({k: v for k, v in logs2.items() if k != "loss"})
             logs["loss"] = logs3["loss"] + logs2["loss"]
+            # capacity-cap accounting: occupied voxels cut by max_voxels
+            # across all four views this iter (0 in healthy configs; a
+            # sustained non-zero rate means the cap is eating geometry)
+            logs["metrics.dropped_voxels"] = sum(
+                jnp.sum(view["voxel_dropped"])
+                for views in vbatch.values() for view in views.values())
             if profile_dir and it == start_iter + 15:
                 jax.block_until_ready(logs)
                 jax.profiler.stop_trace()

@@ -1,0 +1,207 @@
+"""Production-scale benchmark harness (single chip).
+
+The headline benchmark is the FULL DetMatch SSL train step at the
+reference's per-GPU recipe (``configs/detmatch/001/detmatch/split_0.py``):
+batch 4 labeled + 4 unlabeled; 18,000-point reduced clouds (realistic
+ray-cast scenes — ``utils/synth_kitti.py`` — not uniform noise);
+16,000-voxel cap (``split_0.py:112``); 2048 keypoints; full 384x1280
+padded canvas.
+
+Reference baseline derivation (no iters/sec is published; documented in
+``docs/benchmarks.md``): upstream mmdet3d measures Part-A2 training at
+17 samples/s on 8xV100 (~2.1 samples/s/GPU, ``docs/benchmarks.md:8-23``);
+PV-RCNN adds VSA + a heavier RoI head on the same backbone (<= Part-A2
+throughput), and the SSL step further runs teacher 3D+2D inference and
+the Faster R-CNN student on top — the reference iteration (4 lab + 4
+unlab per GPU, DDP so per-iter time == per-GPU time) is estimated at
+**5 s/iter (0.2 iters/s, 1.6 samples/s per GPU)**. This is deliberately
+conservative (favoring the reference).
+
+Timing is CHAINED (state of iter i feeds iter i+1) because
+block_until_ready under-measures through the axon tunnel.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .core.transforms import Aug2D, Aug3D
+from .ops import voxelize
+
+PCR = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+
+# the reference's per-GPU estimated iteration time (see module docstring)
+REF_SSL_SEC_PER_ITER = 5.0
+REF_SSL_SAMPLES_PER_SEC_PER_GPU = 8.0 / REF_SSL_SEC_PER_ITER
+
+
+def production_cfg(reduced=False):
+    canvas = (192, 640) if reduced else (384, 1280)
+    pv = dict(
+        num_classes=3, point_cloud_range=PCR,
+        voxel_size=(0.05, 0.05, 0.1), grid_size=(1408, 1600, 40),
+        num_keypoints=1024 if reduced else 2048,
+        backbone_caps=((12000, 9000, 7000, 7000) if reduced
+                       else (16000, 12000, 9000, 9000)),
+        train_nms=dict(nms_pre=1024, nms_post=128, nms_thresh=0.8),
+        test_nms=dict(nms_pre=1024, nms_post=100, nms_thresh=0.7))
+    fr = dict(canvas=canvas)
+    spec = voxelize.VoxelizerSpec(
+        point_cloud_range=PCR, voxel_size=(0.05, 0.05, 0.1),
+        max_voxels=12000 if reduced else 16000, max_points=5)
+    return pv, fr, spec, canvas, (8192 if reduced else 18000)
+
+
+def make_view(rng, b, p, canvas, with_gt=False):
+    from .utils.synth_kitti import lidar_batch
+    pts, pvalid = lidar_batch(rng, b, p, PCR)
+    view = dict(
+        points=jnp.asarray(pts),
+        points_valid=jnp.asarray(pvalid),
+        img=jnp.asarray(rng.randn(b, *canvas, 3).astype(np.float32)),
+        img_shape=jnp.asarray(np.tile([[canvas[0], canvas[1]]], (b, 1)
+                                      ).astype(np.float32)),
+        ori_shape=jnp.asarray(np.tile([[375.0, 1242.0]], (b, 1))),
+        lidar2img=jnp.asarray(np.tile(np.array(
+            [[[0, -700, 0, 6200],
+              [0, 0, -700, 1800],
+              [1, 0, 0, 0],
+              [0, 0, 0, 1]]], np.float32), (b, 1, 1))),
+        aug3d=Aug3D(flip_x=jnp.zeros((b,)), rot=jnp.zeros((b,)),
+                    scale=jnp.ones((b,)), trans=jnp.zeros((b, 3))),
+        aug2d=Aug2D(scale=jnp.ones((b, 4)), flip=jnp.zeros((b,)),
+                    img_w=jnp.full((b,), float(canvas[1]))),
+    )
+    if with_gt:
+        g, n = 40, 20
+        gt = np.zeros((b, g, 8), np.float32)
+        gt[:, :n, 0] = rng.rand(b, n) * 60 + 3
+        gt[:, :n, 1] = rng.rand(b, n) * 70 - 35
+        gt[:, :n, 2] = -1.0
+        gt[:, :n, 3:6] = [3.9, 1.6, 1.56]
+        gt[:, :n, 6] = rng.rand(b, n) - 0.5
+        gt[:, :n, 7] = rng.randint(1, 4, (b, n))
+        view["gt_boxes"] = jnp.asarray(gt)
+        g2 = np.zeros((b, g, 4), np.float32)
+        g2[:, :n, :2] = rng.rand(b, n, 2) * 400
+        g2[:, :n, 2:] = g2[:, :n, :2] + 60
+        view["gt_boxes2d"] = jnp.asarray(g2)
+        view["gt_labels2d"] = jnp.asarray(
+            rng.randint(0, 3, (b, g)).astype(np.int32))
+        v2 = np.zeros((b, g), bool)
+        v2[:, :n] = True
+        view["gt2d_valid"] = jnp.asarray(v2)
+    return view
+
+
+def ssl_step_bench(b=4, reduced=False, segmented=None, iters=5,
+                   rounds=3, log=print):
+    """Time the full staged SSL train step; returns a result dict.
+
+    segmented: None = try the fused concat stu3d, fall back to the
+    3-program segmented path if its compile fails (the remote compile
+    helper caps program size).
+    """
+    from .models.frcnn.faster_rcnn import FasterRCNN
+    from .models.pvrcnn.pvrcnn import PVRCNN
+    from .ssl.detector import SSLConfig, SSLDetector
+    from .train.ssl_step import (make_ssl_train_fns_split,
+                                 make_stu3d_segmented, voxelize_views)
+    import optax
+
+    pv_cfg, fr_cfg, spec, canvas, p = production_cfg(reduced)
+    rng = np.random.RandomState(0)
+    batch = dict(
+        lab=dict(stu=make_view(rng, b, p, canvas, with_gt=True),
+                 tea=make_view(rng, b, p, canvas)),
+        unlab=dict(stu=make_view(rng, b, p, canvas),
+                   tea=make_view(rng, b, p, canvas)),
+    )
+    ssl = SSLDetector(PVRCNN(**pv_cfg), FasterRCNN(**fr_cfg), SSLConfig())
+
+    key = jax.random.PRNGKey(0)
+    vbatch = voxelize_views(batch, spec)
+    lab3d = vbatch["lab"]["stu"]
+    t0 = time.time()
+    state = ssl.init_states(key, lab3d, lab3d["img"], lab3d["img_shape"])
+    log(f"[init {time.time() - t0:.0f}s]")
+
+    tx3 = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(1e-3))
+    tx2 = optax.chain(optax.clip_by_global_norm(10.0),
+                      optax.sgd(1e-3, momentum=0.9))
+    opt3 = tx3.init(state["student"]["det3d"]["params"])
+    opt2 = tx2.init(state["student"]["det2d"]["params"])
+
+    teacher_fn, stu3d_fn, stu2d_fn, ema_fn = make_ssl_train_fns_split(
+        ssl, tx3, tx2, spec)
+    jt, j2, je = jax.jit(teacher_fn), jax.jit(stu2d_fn), jax.jit(ema_fn)
+
+    t0 = time.time()
+    pseudo, vb = jt(state["teacher"], batch)
+    jax.block_until_ready(pseudo)
+    log(f"[compile teacher {time.time() - t0:.0f}s]")
+
+    j3 = None
+    if segmented is not True:
+        try:
+            t0 = time.time()
+            j3 = jax.jit(stu3d_fn)
+            v3, o3, l3 = j3(state["student"]["det3d"], opt3, vb, pseudo,
+                            jnp.int32(0), key)
+            jax.block_until_ready(l3)
+            log(f"[compile stu3d(fused) {time.time() - t0:.0f}s] "
+                f"loss={float(l3['loss']):.3f}")
+        except Exception as e:  # compile-size cap → segmented fallback
+            log(f"[fused stu3d failed: {type(e).__name__}; "
+                f"falling back to segmented]")
+            j3 = None
+    if j3 is None:
+        t0 = time.time()
+        j3 = make_stu3d_segmented(ssl, tx3)
+        v3, o3, l3 = j3(state["student"]["det3d"], opt3, vb, pseudo,
+                        jnp.int32(0), key)
+        jax.block_until_ready(l3)
+        log(f"[compile stu3d(segmented) {time.time() - t0:.0f}s] "
+            f"loss={float(l3['loss']):.3f}")
+
+    t0 = time.time()
+    v2, o2, l2 = j2(state["student"]["det2d"], opt2, vb, pseudo,
+                    jnp.int32(0), key)
+    jax.block_until_ready(l2)
+    log(f"[compile stu2d {time.time() - t0:.0f}s] "
+        f"loss={float(l2['loss']):.3f}")
+    t0 = time.time()
+    tea = je(state["teacher"], {"det3d": v3, "det2d": v2}, jnp.int32(0))
+    jax.block_until_ready(tea)
+    log(f"[compile ema {time.time() - t0:.0f}s]")
+
+    def one_iter(state, opt3, opt2, it):
+        pseudo, vb = jt(state["teacher"], batch)
+        v3, opt3, l3 = j3(state["student"]["det3d"], opt3, vb, pseudo,
+                          it, key)
+        v2, opt2, l2 = j2(state["student"]["det2d"], opt2, vb, pseudo,
+                          it, key)
+        student = {"det3d": v3, "det2d": v2}
+        teacher = je(state["teacher"], student, it)
+        return ({"student": student, "teacher": teacher}, opt3, opt2,
+                l3, l2)
+
+    st, q3, q2 = state, opt3, opt2
+    best = None
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            st, q3, q2, l3, l2 = one_iter(st, q3, q2, jnp.int32(i))
+        jax.block_until_ready(l3["loss"])
+        d = (time.perf_counter() - t0) / iters
+        best = d if best is None else min(best, d)
+    sps = 2 * b / best
+    log(f"SSL step: {best * 1e3:.0f} ms/iter -> {1.0 / best:.2f} iters/s "
+        f"(batch {b}+{b}); {sps:.1f} samples/s/chip")
+    return dict(sec_per_iter=best, iters_per_sec=1.0 / best,
+                samples_per_sec=sps,
+                vs_ref_per_device=sps / REF_SSL_SAMPLES_PER_SEC_PER_GPU)

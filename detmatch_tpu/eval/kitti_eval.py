@@ -196,11 +196,67 @@ def _overlap_matrix(det, gt, metric):
     return np.asarray(m)
 
 
-def eval_class(gt_annos, det_annos, cls, difficulty, metric):
+def precompute_overlaps(gt_annos, det_annos, metric, chunk=512):
+    """All per-image (n_det, n_gt) overlap matrices in ONE padded,
+    chunked, jitted IoU program instead of a fresh device launch per
+    image (the reference's fused partwise design, ``eval.py:341``).
+
+    The overlap matrix depends only on the metric — NOT on class or
+    difficulty — so :func:`kitti_eval` computes it once per metric and
+    reuses it across all 9 (class, difficulty) sweeps.
+    """
+    n_img = len(gt_annos)
+    if metric == "bbox":
+        return [_iou2d_np(det["bbox"], gt["bbox"])
+                for gt, det in zip(gt_annos, det_annos)]
+    import jax
+    import jax.numpy as jnp
+    from ..core import geometry, iou as iou_mod
+
+    n_det = [len(d["boxes3d"]) for d in det_annos]
+    n_gt = [len(g["boxes3d"]) for g in gt_annos]
+    dmax = max(8, -(-max(n_det, default=1) // 8) * 8)
+    gmax = max(8, -(-max(n_gt, default=1) // 8) * 8)
+
+    def pad(boxes, n):
+        out = np.zeros((n, 7), np.float32)
+        out[: len(boxes)] = boxes
+        return out
+
+    dets = np.stack([pad(d["boxes3d"], dmax) for d in det_annos])
+    gts = np.stack([pad(g["boxes3d"], gmax) for g in gt_annos])
+
+    if metric == "bev":
+        def one(d, g):
+            return iou_mod.rotated_iou_bev(geometry.boxes_to_bev(d),
+                                           geometry.boxes_to_bev(g))
+    else:
+        def one(d, g):
+            return iou_mod.iou3d(d, g)
+
+    batched = jax.jit(jax.vmap(one))
+    outs = []
+    for s in range(0, n_img, chunk):
+        db, gb = dets[s:s + chunk], gts[s:s + chunk]
+        if db.shape[0] < chunk and s > 0:
+            # keep the padded chunk shape so the jit program is reused
+            db = np.concatenate(
+                [db, np.zeros((chunk - db.shape[0], dmax, 7), np.float32)])
+            gb = np.concatenate(
+                [gb, np.zeros((chunk - gb.shape[0], gmax, 7), np.float32)])
+        outs.append(np.asarray(batched(jnp.asarray(db), jnp.asarray(gb))))
+    ov = np.concatenate(outs, axis=0)[:n_img]
+    return [ov[i, : n_det[i], : n_gt[i]] for i in range(n_img)]
+
+
+def eval_class(gt_annos, det_annos, cls, difficulty, metric,
+               overlaps=None):
     """AP_R40 for one (class, difficulty, metric). Annos are per-image:
 
     gt: dict(name, bbox (N,4), occluded, truncated, boxes3d (N,7) internal)
     det: dict(labels (M,), scores, bbox (M,4), boxes3d (M,7))
+    overlaps: optional precomputed per-image matrices
+        (:func:`precompute_overlaps`) — reuse across class/difficulty.
     """
     from .. import native
     lib = native.get_lib()
@@ -209,10 +265,11 @@ def eval_class(gt_annos, det_annos, cls, difficulty, metric):
     per_img = []
     total_gt = 0
     all_tp_scores = []
-    for gt, det in zip(gt_annos, det_annos):
+    for i, (gt, det) in enumerate(zip(gt_annos, det_annos)):
         gt_ign, dc = clean_gt(gt, cls, difficulty)
         det_ign = clean_det(det, cls, difficulty)
-        ov = _overlap_matrix(det, gt, metric)
+        ov = (overlaps[i] if overlaps is not None
+              else _overlap_matrix(det, gt, metric))
         dc_iof = _iou2d_np(det["bbox"], dc, iof=True) if metric == "bbox" \
             else (_iou2d_np(det["bbox"], dc, iof=True) if len(dc) else None)
         per_img.append((ov, dc_iof, det["scores"], gt_ign, det_ign))
@@ -266,9 +323,11 @@ def kitti_eval(gt_annos, det_annos, classes=CLASSES,
     out = {}
     diff_names = ("easy", "moderate", "hard")
     for metric in metrics:
+        ov = precompute_overlaps(gt_annos, det_annos, metric)
         for cls in classes:
             for d in difficulties:
-                ap = eval_class(gt_annos, det_annos, cls, d, metric)
+                ap = eval_class(gt_annos, det_annos, cls, d, metric,
+                                overlaps=ov)
                 out[f"{cls}_{metric}_{diff_names[d]}"] = ap
         for d in difficulties:
             vals = [out[f"{c}_{metric}_{diff_names[d]}"] for c in classes]

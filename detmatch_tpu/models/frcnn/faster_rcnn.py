@@ -64,21 +64,11 @@ class FasterRCNN(nn.Module):
         nms_pre = self.train_rpn_nms_pre if train else self.test_rpn_nms_pre
         max_img = self.train_rpn_max if train else self.test_rpn_max
 
-        def single(level_outs, shape):
-            return rpn_proposals(level_outs, self._anchors, shape,
-                                 nms_pre, max_img)
-
-        per_image = [
-            [(c[i], r[i]) for c, r in rpn_outs]
-            for i in range(images.shape[0])
-        ]
-        props, scores = [], []
-        for i, po in enumerate(per_image):
-            p, s = single(po, img_shapes[i])
-            props.append(p)
-            scores.append(s)
-        proposals = jnp.stack(props)
-        proposal_scores = jnp.stack(scores)
+        anchors = self._anchors
+        proposals, proposal_scores = jax.vmap(
+            lambda louts, shape: rpn_proposals(louts, anchors, shape,
+                                               nms_pre, max_img)
+        )(rpn_outs, img_shapes)
         if self.is_initializing():
             # create bbox_head params during init (loss/simple_test reach
             # them outside __call__)
@@ -91,15 +81,14 @@ class FasterRCNN(nn.Module):
         """rois_batched: (B, R, 4) → (cls (B, R, C+1), reg (B, R, C*4))."""
         b, r = rois_batched.shape[:2]
         per_level = [f for f in feats[:4]]  # strides 4..32
-        cls_list, reg_list = [], []
-        for i in range(b):
-            pooled = multilevel_roi_align(
-                [f[i] for f in per_level], rois_batched[i],
-                strides=(4, 8, 16, 32))
-            cls, reg = self.bbox_head(pooled)
-            cls_list.append(cls)
-            reg_list.append(reg)
-        return jnp.stack(cls_list), jnp.stack(reg_list)
+        pooled = jax.vmap(
+            lambda fl, rois: multilevel_roi_align(fl, rois,
+                                                  strides=(4, 8, 16, 32))
+        )(per_level, rois_batched)  # (B, R, o, o, C)
+        # one fused (B*R) matmul through the shared-FC head (MXU-sized)
+        cls, reg = self.bbox_head(pooled.reshape(b * r, *pooled.shape[2:]))
+        return (cls.reshape(b, r, cls.shape[-1]),
+                reg.reshape(b, r, reg.shape[-1]))
 
     def loss(self, rng_key, fwd, gt_boxes, gt_labels, gt_valid):
         """Full train losses dict (RPN + RoI).
@@ -132,17 +121,15 @@ class FasterRCNN(nn.Module):
         fwd = self(images, img_shapes, train=False)
         cls_logits, reg_preds = self.roi_forward(fwd["feats"],
                                                  fwd["proposals"])
-        b = images.shape[0]
-        results = []
-        for i in range(b):
-            boxes, scores = decode_rcnn(
-                fwd["proposals"][i], cls_logits[i], reg_preds[i],
-                self.num_classes, img_shapes[i])
+        num_classes = self.num_classes
+
+        def single(props, cls_l, reg_p, shape, pvalid):
+            boxes, scores = decode_rcnn(props, cls_l, reg_p,
+                                        num_classes, shape)
             if with_nms:
-                results.append(multiclass_nms_2d(
-                    boxes, scores, score_thr, iou_thr, max_per_img))
-            else:
-                results.append(dict(
-                    boxes=boxes, scores=scores,
-                    valid=fwd["proposal_scores"][i] > -1e9))
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *results)
+                return multiclass_nms_2d(boxes, scores, score_thr,
+                                         iou_thr, max_per_img)
+            return dict(boxes=boxes, scores=scores, valid=pvalid)
+
+        return jax.vmap(single)(fwd["proposals"], cls_logits, reg_preds,
+                                img_shapes, fwd["proposal_scores"] > -1e9)

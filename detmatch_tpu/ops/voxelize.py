@@ -118,8 +118,8 @@ def voxelize_mean(points, points_valid, spec: VoxelizerSpec):
         [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
     ) & (skeys != INVALID_KEY)
     voxel_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # (P,)
-    num_voxels = jnp.minimum(jnp.sum(first.astype(jnp.int32)),
-                             spec.max_voxels)
+    total_voxels = jnp.sum(first.astype(jnp.int32))
+    num_voxels = jnp.minimum(total_voxels, spec.max_voxels)
 
     # rank of each point within its voxel (for the max_points cap)
     pos = jnp.arange(P, dtype=jnp.int32)
@@ -156,6 +156,12 @@ def voxelize_mean(points, points_valid, spec: VoxelizerSpec):
     coords = jnp.where((vkeys != INVALID_KEY)[:, None], coords, 0)
     return dict(features=features, coords=coords, keys=vkeys,
                 num_voxels=num_voxels,
+                # occupied voxels beyond max_voxels are silently cut by
+                # the fixed-capacity buffer — surface the count so
+                # training can LOG the truncation rate (SURVEY "no
+                # silent caps"; reference train cap 16000:
+                # configs/detmatch/001/detmatch/split_0.py:108-112)
+                num_dropped_voxels=total_voxels - num_voxels,
                 # grouped per-point view (for pillar/point VFEs):
                 point_feats=sfeat, point_voxel_id=voxel_id,
                 point_contrib=contrib, voxel_counts=cnt)

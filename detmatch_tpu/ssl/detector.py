@@ -241,6 +241,39 @@ class SSLDetector:
             out["m2d_clean"] = boxset.detach(m2d)
         return out
 
+    def _consistency_branch(self, out3d_sub, u_stu, m2d_clean):
+        """The HungarianConsistency branch (shared by every student-3d
+        loss variant): student 3D boxes → de-aug → project to the image
+        → 2D NMS → second Hungarian match vs the clean teacher-2D set →
+        re-aug both into the student-2D frame → focal/L1/gIoU loss
+        (reference ``ssl_modules/processors_fusion.py`` Bboxes3DTo2D +
+        FusionHungarianMatching + HungarianConsistency,
+        ``split_0.py:379-425``).
+
+        Returns (loss dict, num-matched metric).
+        """
+        cfg = self.cfg
+        stu3d = self._det3d_student_boxes(out3d_sub)
+        stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
+                                           reverse=True)
+        stu3d_proj = modules.boxes_3d_to_2d(
+            stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
+        stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
+                                           *cfg.proj_nms_2d_cfg)
+        s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
+            stu3d_proj, m2d_clean, u_stu["lidar2img"],
+            u_stu["ori_shape"], cost_thr=cfg.cost_thr,
+            project_3d_to_2d=False)
+        s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
+                                         reverse=False)
+        t2d_m_aug = modules.transform_2d(
+            boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
+        cw, lw, iw = cfg.consistency_weights
+        cons = modules.hungarian_consistency_loss(
+            s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
+            cls_w=cw, l1_w=lw, iou_w=iw)
+        return cons, boxset.num_valid(s3d_m)
+
     def student_losses(self, student, batch, pseudo, it, rng):
         """Supervised + pseudo-label + consistency losses for the student.
 
@@ -302,26 +335,9 @@ class SSLDetector:
 
         if cfg.consistency and cfg.fusion and cfg.enable_3d \
                 and cfg.enable_2d:
-            stu3d = self._det3d_student_boxes(out3d_u)
-            stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
-                                               reverse=True)
-            stu3d_proj = modules.boxes_3d_to_2d(
-                stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
-            stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
-                                               *cfg.proj_nms_2d_cfg)
-            s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
-                stu3d_proj, pseudo["m2d_clean"], u_stu["lidar2img"],
-                u_stu["ori_shape"], cost_thr=cfg.cost_thr,
-                project_3d_to_2d=False)
-            logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
-            s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
-                                             reverse=False)
-            t2d_m_aug = modules.transform_2d(
-                boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
-            cw, lw, iw = cfg.consistency_weights
-            cons = modules.hungarian_consistency_loss(
-                s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
-                cls_w=cw, l1_w=lw, iou_w=iw)
+            cons, n_match = self._consistency_branch(
+                out3d_u, u_stu, pseudo["m2d_clean"])
+            logs["metrics.num_2D_to_3D_hung"] = n_match
             ssl_losses.update({f"2D_to_3D_hung.{k}": v
                                for k, v in cons.items()})
 
@@ -358,26 +374,9 @@ class SSLDetector:
         ssl_losses.update({f"hard_pseudo_3d.{k}": v
                            for k, v in pl3d.items() if k != "loss"})
         if cfg.consistency and cfg.fusion and cfg.enable_2d:
-            stu3d = self._det3d_student_boxes(out3d_u)
-            stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
-                                               reverse=True)
-            stu3d_proj = modules.boxes_3d_to_2d(
-                stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
-            stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
-                                               *cfg.proj_nms_2d_cfg)
-            s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
-                stu3d_proj, pseudo["m2d_clean"], u_stu["lidar2img"],
-                u_stu["ori_shape"], cost_thr=cfg.cost_thr,
-                project_3d_to_2d=False)
-            logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
-            s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
-                                             reverse=False)
-            t2d_m_aug = modules.transform_2d(
-                boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
-            cw, lw, iw = cfg.consistency_weights
-            cons = modules.hungarian_consistency_loss(
-                s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
-                cls_w=cw, l1_w=lw, iou_w=iw)
+            cons, n_match = self._consistency_branch(
+                out3d_u, u_stu, pseudo["m2d_clean"])
+            logs["metrics.num_2D_to_3D_hung"] = n_match
             ssl_losses.update({f"2D_to_3D_hung.{k}": v
                                for k, v in cons.items()})
         w = ssl_weight_at(it, cfg)
@@ -421,8 +420,11 @@ class SSLDetector:
         mask_lab = jnp.arange(b) < bl
         grouped = self.pvrcnn.apply(
             det3d_vars, out, cat,
+            # log-key naming matches the non-concat paths (sup.3d.* /
+            # ssl.unlab.hard_pseudo_3d.*) so log.json consumers see one
+            # schema regardless of the step variant
             {"sup.3d": (mask_lab, 1.0),
-             "hard_pseudo_3d": (~mask_lab, w)},
+             "ssl.unlab.hard_pseudo_3d": (~mask_lab, w)},
             method=PVRCNN.loss_grouped)
         total = grouped.pop("loss")
         logs = {k: v for k, v in grouped.items()}
@@ -431,28 +433,11 @@ class SSLDetector:
             sub = {k: jax.tree.map(lambda x: x[bl:], out[k])
                    for k in ("batch_box_preds_rcnn", "rcnn_cls",
                              "roi_labels", "roi_scores_full")}
-            stu3d = self._det3d_student_boxes(sub)
-            stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
-                                               reverse=True)
-            stu3d_proj = modules.boxes_3d_to_2d(
-                stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
-            stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
-                                               *cfg.proj_nms_2d_cfg)
-            s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
-                stu3d_proj, pseudo["m2d_clean"], u_stu["lidar2img"],
-                u_stu["ori_shape"], cost_thr=cfg.cost_thr,
-                project_3d_to_2d=False)
-            logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
-            s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
-                                             reverse=False)
-            t2d_m_aug = modules.transform_2d(
-                boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
-            cw, lw, iw = cfg.consistency_weights
-            cons = modules.hungarian_consistency_loss(
-                s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
-                cls_w=cw, l1_w=lw, iou_w=iw)
+            cons, n_match = self._consistency_branch(
+                sub, u_stu, pseudo["m2d_clean"])
+            logs["metrics.num_2D_to_3D_hung"] = n_match
             for k, v in cons.items():
-                logs[f"2D_to_3D_hung.{k}"] = v
+                logs[f"ssl.unlab.2D_to_3D_hung.{k}"] = v
                 total = total + w * v
         return total, logs
 
@@ -536,71 +521,15 @@ class SSLDetector:
         (``PVRCNN.loss_grouped``). Same semantics as
         :meth:`student_losses_3d` up to BatchNorm batch statistics
         (computed over the union batch here)."""
-        cfg = self.cfg
-        lab = batch["lab"]["stu"]
-        u_stu = batch["unlab"]["stu"]
-        bl = lab["points"].shape[0]
-        bu = u_stu["points"].shape[0]
-        pseudo_gt3d = pseudo_gt_from_boxset(
-            pseudo["m3d_stu"], cfg.pseudo_score_thr_3d, cfg.max_pseudo_gt)
-        g = max(lab["gt_boxes"].shape[1], pseudo_gt3d.shape[1])
-
-        def padg(x):
-            if x.shape[1] == g:
-                return x
-            pad = jnp.zeros((x.shape[0], g - x.shape[1], x.shape[2]),
-                            x.dtype)
-            return jnp.concatenate([x, pad], axis=1)
-
-        cat = {k: jnp.concatenate([lab[k], u_stu[k]], axis=0)
-               for k in ("points", "points_valid", "voxel_features",
-                         "voxel_keys")}
-        cat["gt_boxes"] = jnp.concatenate(
-            [padg(lab["gt_boxes"]), padg(pseudo_gt3d)], axis=0)
-
+        cat, bl = self._concat_student_batch(batch, pseudo)
         out, mut = self.pvrcnn.apply(
             det3d_vars, cat, train=True,
             rngs={"sampling": rng, "dropout": rng},
             mutable=["batch_stats"])
-        w = ssl_weight_at(it, cfg)
-        mask_lab = jnp.arange(bl + bu) < bl
-        grouped = self.pvrcnn.apply(
-            det3d_vars, out, cat,
-            {"sup.3d": (mask_lab, 1.0),
-             "hard_pseudo_3d": (~mask_lab, w)},
-            method=PVRCNN.loss_grouped)
-        total = grouped.pop("loss")
-        logs = {k: v for k, v in grouped.items()}
-        new_stats = {"det3d": mut["batch_stats"]}
-
-        if cfg.consistency and cfg.fusion and cfg.enable_2d:
-            sub = {k: jax.tree.map(lambda x: x[bl:], out[k])
-                   for k in ("batch_box_preds_rcnn", "rcnn_cls",
-                             "roi_labels", "roi_scores_full")}
-            stu3d = self._det3d_student_boxes(sub)
-            stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
-                                               reverse=True)
-            stu3d_proj = modules.boxes_3d_to_2d(
-                stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
-            stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
-                                               *cfg.proj_nms_2d_cfg)
-            s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
-                stu3d_proj, pseudo["m2d_clean"], u_stu["lidar2img"],
-                u_stu["ori_shape"], cost_thr=cfg.cost_thr,
-                project_3d_to_2d=False)
-            logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
-            s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
-                                             reverse=False)
-            t2d_m_aug = modules.transform_2d(
-                boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
-            cw, lw, iw = cfg.consistency_weights
-            cons = modules.hungarian_consistency_loss(
-                s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
-                cls_w=cw, l1_w=lw, iou_w=iw)
-            for k, v in cons.items():
-                logs[f"2D_to_3D_hung.{k}"] = v
-                total = total + w * v
-        return total, dict(logs=logs, batch_stats=new_stats)
+        total, logs = self._stu3d_grouped_losses(
+            det3d_vars, out, cat, bl, batch, pseudo, it)
+        return total, dict(logs=logs,
+                           batch_stats={"det3d": mut["batch_stats"]})
 
     def student_losses_2d(self, det2d_vars, batch, pseudo, it, rng):
         """det2d-only losses (sup + cls-only hard pseudo)."""
@@ -746,27 +675,9 @@ class SSLDetector:
         # ===== 2D consistency branch (DetMatch only) =====
         if cfg.consistency and cfg.fusion and cfg.enable_3d \
                 and cfg.enable_2d:
-            stu3d = self._det3d_student_boxes(out3d_u)
-            stu3d_noaug = modules.transform_3d(stu3d, u_stu["aug3d"],
-                                               reverse=True)
-            stu3d_proj = modules.boxes_3d_to_2d(
-                stu3d_noaug, u_stu["lidar2img"], u_stu["ori_shape"])
-            stu3d_proj = modules.nms_2d_boxset(stu3d_proj,
-                                               *cfg.proj_nms_2d_cfg)
-            m2d_dtch = boxset.detach(m2d)
-            s3d_m, t2d_m, _ = modules.fusion_hungarian_matching(
-                stu3d_proj, m2d_dtch, u_stu["lidar2img"],
-                u_stu["ori_shape"], cost_thr=cfg.cost_thr,
-                project_3d_to_2d=False)
-            logs["metrics.num_2D_to_3D_hung"] = boxset.num_valid(s3d_m)
-            s3d_m_aug = modules.transform_2d(s3d_m, u_stu["aug2d"],
-                                             reverse=False)
-            t2d_m_aug = modules.transform_2d(
-                boxset.detach(t2d_m), u_stu["aug2d"], reverse=False)
-            cw, lw, iw = cfg.consistency_weights
-            cons = modules.hungarian_consistency_loss(
-                s3d_m_aug, t2d_m_aug, u_stu["img_shape"],
-                cls_w=cw, l1_w=lw, iou_w=iw)
+            cons, n_match = self._consistency_branch(
+                out3d_u, u_stu, boxset.detach(m2d))
+            logs["metrics.num_2D_to_3D_hung"] = n_match
             ssl_losses.update({f"2D_to_3D_hung.{k}": v
                                for k, v in cons.items()})
 

@@ -43,6 +43,24 @@ def latest_step(path: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def load_from_with_optimizer(path: str, template: Dict[str, Any],
+                             step: Optional[int] = None):
+    """Bootstrapped resume (reference ``apis/ssl_train.py:157-166``):
+    restore model state AND optimizer state from an SSL checkpoint but
+    reset the iteration counter to 0 — used to continue SSL training
+    under a new schedule.
+
+    Args:
+        template: {'state': ..., 'opt_state': ...} shape/dtype template.
+    Returns:
+        (payload, start_iter=0).
+    """
+    step = latest_step(path) if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no ckpt_* under {path}")
+    return restore(path, step, template), 0
+
+
 def load_pretrained_into_ssl(ssl_state, pretrain_payload, det_key):
     """Duplicate a pretrain checkpoint into both branches
     (reference ``ssl.py:102-127``).

@@ -18,12 +18,18 @@ from ..ssl.detector import SSLDetector, ema_decay_at, ema_update
 
 
 def voxelize_views(batch, spec):
-    """Add voxel_features/voxel_keys to every view (device-side)."""
+    """Add voxel_features/voxel_keys to every view (device-side).
+
+    Also carries ``voxel_dropped`` (per-sample count of occupied voxels
+    cut by the ``max_voxels`` capacity) so the train loop can log the
+    truncation rate instead of silently capping.
+    """
     def add(view):
         vox = jax.vmap(lambda p, v: voxelize.voxelize_mean(p, v, spec))(
             view["points"], view["points_valid"])
         return dict(view, voxel_features=vox["features"],
-                    voxel_keys=vox["keys"])
+                    voxel_keys=vox["keys"],
+                    voxel_dropped=vox["num_dropped_voxels"])
 
     return {split: {k: add(v) for k, v in views.items()}
             for split, views in batch.items()}

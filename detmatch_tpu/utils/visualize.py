@@ -83,3 +83,55 @@ def denormalize_caffe(img, mean=(103.530, 116.280, 123.675)):
     """Invert the caffe normalization for display."""
     return np.clip(np.asarray(img) + np.asarray(mean), 0, 255
                    ).astype(np.uint8)
+
+
+def matched_pair_canvas(img_bgr, boxes3d, boxes2d, valid, lidar2img,
+                        img_shape, scores3d=None, scores2d=None):
+    """Matched teacher 3D↔2D pair canvas (the reference's Vis2D_Kitti
+    consumer, ``ssl_modules/consumers/visualize.py:40-310``): each
+    fusion-matched pair drawn as the PROJECTED 3D box (green) and its
+    matched 2D box (orange) joined center-to-center, annotated with both
+    scores — the picture that makes bad matches obvious.
+
+    Args:
+        img_bgr: (H, W, 3) uint8; boxes3d: (M, 7) internal lidar boxes;
+        boxes2d: (M, 4) xyxy; valid: (M,) pair validity;
+        lidar2img: (4, 4); img_shape: (h, w).
+    Returns:
+        (H, W, 3) uint8.
+    """
+    import cv2
+    out = np.ascontiguousarray(np.asarray(img_bgr, np.uint8).copy())
+    boxes3d = np.asarray(boxes3d, np.float32)
+    boxes2d = np.asarray(boxes2d, np.float32)
+    if len(boxes3d) == 0:
+        return out
+    boxes_p, proj_valid = geometry.boxes_3d_to_2d(
+        boxes3d, np.asarray(lidar2img, np.float32),
+        np.asarray(img_shape, np.float32))
+    boxes_p = np.asarray(boxes_p)
+    if valid is None:
+        valid = np.asarray(proj_valid)
+    for i in range(len(boxes3d)):
+        if valid is not None and not valid[i]:
+            continue
+        p3 = boxes_p[i]
+        p2 = boxes2d[i]
+        cv2.rectangle(out, (int(p3[0]), int(p3[1])),
+                      (int(p3[2]), int(p3[3])), (0, 255, 0), 1)
+        cv2.rectangle(out, (int(p2[0]), int(p2[1])),
+                      (int(p2[2]), int(p2[3])), (0, 160, 255), 1)
+        c3 = (int((p3[0] + p3[2]) / 2), int((p3[1] + p3[3]) / 2))
+        c2 = (int((p2[0] + p2[2]) / 2), int((p2[1] + p2[3]) / 2))
+        cv2.line(out, c3, c2, (255, 255, 255), 1)
+        txt = []
+        if scores3d is not None:
+            txt.append(f"3d{float(np.max(scores3d[i])):.2f}")
+        if scores2d is not None:
+            txt.append(f"2d{float(np.max(scores2d[i])):.2f}")
+        if txt:
+            cv2.putText(out, " ".join(txt),
+                        (c3[0], max(c3[1] - 4, 8)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.35, (255, 255, 255),
+                        1)
+    return out

@@ -16,6 +16,10 @@ CFG = dict(
 )
 
 
+import pytest
+pytestmark = pytest.mark.slow
+
+
 def _batch(rng, b=1, h=64, w=64, with_gt=True):
     batch = dict(
         images=jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255),

@@ -8,6 +8,9 @@ from detmatch_tpu.models.frcnn.faster_rcnn import FasterRCNN
 CANVAS = (64, 128)
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def setup():
     model = FasterRCNN(

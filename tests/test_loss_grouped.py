@@ -16,6 +16,10 @@ SPEC = voxelize.VoxelizerSpec(point_cloud_range=PCR,
                               max_voxels=512, max_points=5)
 
 
+import pytest
+pytestmark = pytest.mark.slow
+
+
 def _batch(rng, b):
     p = 256
     pts = np.stack([

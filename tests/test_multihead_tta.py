@@ -7,6 +7,10 @@ from detmatch_tpu.models.pvrcnn.pvrcnn import DEFAULT_ANCHOR_CONFIGS
 from detmatch_tpu.data.pipelines import MultiScaleFlipAug3D
 
 
+import pytest
+pytestmark = pytest.mark.slow
+
+
 def test_anchor_head_multi_forward_targets_loss():
     head = AnchorHeadMulti(
         num_classes=3, point_cloud_range=(0, -8, -3, 16, 8, 1),

@@ -200,3 +200,29 @@ def test_group_and_pool_empty_ball_zero():
     out = np.asarray(out)
     assert np.all(out[1] == 0)  # empty ball
     assert np.any(out[0] != 0)
+
+
+def test_voxelize_capacity_truncation_is_counted():
+    """A scene denser than max_voxels must report the exact number of
+    occupied voxels cut by the capacity cap (no silent truncation —
+    the train loop logs metrics.dropped_voxels from this count)."""
+    spec = voxelize.VoxelizerSpec(
+        point_cloud_range=(0.0, -2.0, -1.0, 4.0, 2.0, 1.0),
+        voxel_size=(0.5, 0.5, 0.5), max_voxels=16, max_points=3)
+    rng = np.random.RandomState(3)
+    pts = np.concatenate(
+        [rng.rand(400, 3) * [4.0, 4.0, 2.0] + [0.0, -2.0, -1.0],
+         rng.rand(400, 1)], axis=1).astype(np.float32)
+    out = voxelize.voxelize_mean(jnp.asarray(pts),
+                                 jnp.ones((400,), bool), spec)
+    total_occupied = len(_np_voxelize(pts, spec))
+    assert total_occupied > 16
+    assert int(out["num_voxels"]) == 16
+    assert int(out["num_dropped_voxels"]) == total_occupied - 16
+    # healthy config: nothing dropped
+    big = voxelize.VoxelizerSpec(
+        point_cloud_range=(0.0, -2.0, -1.0, 4.0, 2.0, 1.0),
+        voxel_size=(0.5, 0.5, 0.5), max_voxels=256, max_points=3)
+    out2 = voxelize.voxelize_mean(jnp.asarray(pts),
+                                  jnp.ones((400,), bool), big)
+    assert int(out2["num_dropped_voxels"]) == 0

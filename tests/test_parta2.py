@@ -19,6 +19,10 @@ SPEC = voxelize.VoxelizerSpec(point_cloud_range=PCR,
                               max_voxels=512, max_points=5)
 
 
+import pytest
+pytestmark = pytest.mark.slow
+
+
 def _batch(rng, b=2, p=512, with_gt=True):
     pts = np.stack([
         rng.rand(b, p) * 15 + 0.5, rng.rand(b, p) * 15 - 7.5,

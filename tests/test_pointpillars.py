@@ -15,6 +15,10 @@ SPEC = voxelize.VoxelizerSpec(point_cloud_range=PCR,
                               max_voxels=256, max_points=20)
 
 
+import pytest
+pytestmark = pytest.mark.slow
+
+
 def test_pointpillars_train_and_eval():
     rng = np.random.RandomState(0)
     b, p = 2, 512

@@ -22,6 +22,10 @@ RH = dict(num_sampled=32, sa_npoints=(16, 8, -1), sa_nsamples=(8, 8, 32),
           cls_fc=(16,), reg_fc=(16,))
 
 
+import pytest
+pytestmark = pytest.mark.slow
+
+
 class TinyPointRCNN(PointRCNN):
     def setup(self):
         from detmatch_tpu.models.pvrcnn.pointrcnn import (PointHeadBox,

@@ -22,6 +22,9 @@ SPEC = voxelize.VoxelizerSpec(
     voxel_size=TINY["voxel_size"], max_voxels=512, max_points=5)
 
 
+pytestmark = pytest.mark.slow
+
+
 def _make_batch(rng, b=2, p=512, g=8, with_gt=True):
     pts = np.concatenate([
         rng.rand(b, p, 1) * 16, rng.rand(b, p, 1) * 16 - 8,

@@ -14,6 +14,10 @@ SPEC = voxelize.VoxelizerSpec(point_cloud_range=PCR,
                               max_voxels=512, max_points=5)
 
 
+import pytest
+pytestmark = pytest.mark.slow
+
+
 def test_second_train_and_post():
     rng = np.random.RandomState(0)
     b, p = 2, 512

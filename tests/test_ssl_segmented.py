@@ -13,6 +13,10 @@ from detmatch_tpu.train.ssl_step import (make_ssl_train_fns_split,
                                          voxelize_views)
 
 
+import pytest
+pytestmark = pytest.mark.slow
+
+
 def test_segmented_stu3d_matches_fused():
     rng = np.random.RandomState(0)
     batch = dict(

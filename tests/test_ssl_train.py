@@ -9,73 +9,18 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from detmatch_tpu.core.transforms import Aug2D, Aug3D
 from detmatch_tpu.models.frcnn.faster_rcnn import FasterRCNN
 from detmatch_tpu.models.pvrcnn.pvrcnn import PVRCNN
-from detmatch_tpu.ops import voxelize
 from detmatch_tpu.ssl.detector import (SSLConfig, SSLDetector, ema_decay_at,
                                        ssl_weight_at)
 from detmatch_tpu.train.optim import detmatch_ssl_optimizer
 from detmatch_tpu.train.ssl_step import make_ssl_train_fns
-
-PCR = (0.0, -8.0, -3.0, 16.0, 8.0, 1.0)
-CANVAS = (64, 128)
-
-PV_CFG = dict(
-    num_classes=3, point_cloud_range=PCR, voxel_size=(0.5, 0.5, 0.1),
-    grid_size=(32, 32, 40), num_keypoints=32,
-    backbone_caps=(384, 384, 256, 256),
-    train_nms=dict(nms_pre=128, nms_post=24, nms_thresh=0.8),
-    test_nms=dict(nms_pre=128, nms_post=12, nms_thresh=0.7))
-FR_CFG = dict(canvas=CANVAS, train_rpn_nms_pre=96, train_rpn_max=48,
-              test_rpn_nms_pre=96, test_rpn_max=24, rcnn_num_samples=24)
-SPEC = voxelize.VoxelizerSpec(point_cloud_range=PCR,
-                              voxel_size=(0.5, 0.5, 0.1),
-                              max_voxels=384, max_points=5)
-
-
-def _view(rng, b=1, p=256, with_gt=False):
-    pts = np.stack([
-        rng.rand(b, p) * 15 + 0.5, rng.rand(b, p) * 15 - 7.5,
-        rng.rand(b, p) * 3.5 - 2.8, rng.rand(b, p)], axis=-1
-    ).astype(np.float32)
-    view = dict(
-        points=jnp.asarray(pts),
-        points_valid=jnp.ones((b, p), bool),
-        img=jnp.asarray(rng.randn(b, *CANVAS, 3).astype(np.float32)),
-        img_shape=jnp.asarray(np.tile([[CANVAS[0], CANVAS[1]]], (b, 1)
-                                      ).astype(np.float32)),
-        ori_shape=jnp.asarray(np.tile([[375.0, 1242.0]], (b, 1))),
-        lidar2img=jnp.asarray(np.tile(np.array(
-            [[[0, -700, 0, 620 * 10],
-              [0, 0, -700, 180 * 10],
-              [1, 0, 0, 0],
-              [0, 0, 0, 1]]], np.float32), (b, 1, 1))),
-        aug3d=Aug3D(flip_x=jnp.zeros((b,)), rot=jnp.zeros((b,)),
-                    scale=jnp.ones((b,)), trans=jnp.zeros((b, 3))),
-        aug2d=Aug2D(scale=jnp.ones((b, 4)), flip=jnp.zeros((b,)),
-                    img_w=jnp.full((b,), float(CANVAS[1]))),
-    )
-    if with_gt:
-        g = 6
-        gt = np.zeros((b, g, 8), np.float32)
-        gt[:, :3, 0] = rng.rand(b, 3) * 12 + 2
-        gt[:, :3, 1] = rng.rand(b, 3) * 10 - 5
-        gt[:, :3, 2] = -1.0
-        gt[:, :3, 3:6] = [3.9, 1.6, 1.56]
-        gt[:, :3, 6] = rng.rand(b, 3) - 0.5
-        gt[:, :3, 7] = rng.randint(1, 4, (b, 3))
-        view["gt_boxes"] = jnp.asarray(gt)
-        g2 = np.zeros((b, g, 4), np.float32)
-        g2[:, :3, :2] = rng.rand(b, 3, 2) * 60
-        g2[:, :3, 2:] = g2[:, :3, :2] + 20
-        view["gt_boxes2d"] = jnp.asarray(g2)
-        view["gt_labels2d"] = jnp.asarray(
-            rng.randint(0, 3, (b, g)).astype(np.int32))
-        v2 = np.zeros((b, g), bool)
-        v2[:, :3] = True
-        view["gt2d_valid"] = jnp.asarray(v2)
-    return view
+from detmatch_tpu.utils.tiny import (TINY_CANVAS as CANVAS,
+                                     TINY_FR_CFG as FR_CFG,
+                                     TINY_PCR as PCR,
+                                     TINY_PV_CFG as PV_CFG,
+                                     TINY_SPEC as SPEC,
+                                     tiny_view as _view)
 
 
 @pytest.mark.slow

@@ -1,10 +1,15 @@
 """SSL train-step timing on the real chip (staged DetMatch step).
 
-Builds the full teacher/student pair at near-production scale
-(batch 4 labeled + 4 unlabeled, 8192 points, 12k voxels, 1024 keypoints,
-reduced 192x640 image canvas) and times each staged phase — teacher
-pseudo-labels, student-3d (concatenated lab+unlab pass), student-2d,
-EMA — chained, reporting SSL iters/sec for BASELINE.json's north star.
+Builds the full teacher/student pair at PRODUCTION scale — the
+reference's per-GPU recipe (``configs/detmatch/001/detmatch/split_0.py``):
+batch 4 labeled + 4 unlabeled, 18,000-point reduced clouds (realistic
+ray-cast scenes, not uniform noise), 16,000-voxel cap
+(``split_0.py:112``), 2048 keypoints, full 384x1280 image canvas — and
+times each staged phase — teacher pseudo-labels, student-3d
+(concatenated lab+unlab pass), student-2d, EMA — chained, reporting SSL
+iters/sec for BASELINE.json's north star.
+
+Reduced-shape mode (the round-1 numbers) via REDUCED=1.
 """
 import os
 import sys
@@ -31,30 +36,32 @@ from detmatch_tpu.train.ssl_step import (make_ssl_train_fns_split,
                                          voxelize_views)
 
 PCR = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
-CANVAS = (192, 640)
+_REDUCED = os.environ.get("REDUCED", "0") == "1"
+CANVAS = (192, 640) if _REDUCED else (384, 1280)
 B = 4
-P = 8192
+P = 8192 if _REDUCED else 18000
+_MAXV = 12000 if _REDUCED else 16000
 
 PV_CFG = dict(
     num_classes=3, point_cloud_range=PCR, voxel_size=(0.05, 0.05, 0.1),
-    grid_size=(1408, 1600, 40), num_keypoints=1024,
-    backbone_caps=(12000, 9000, 7000, 7000),
+    grid_size=(1408, 1600, 40),
+    num_keypoints=1024 if _REDUCED else 2048,
+    backbone_caps=((12000, 9000, 7000, 7000) if _REDUCED
+                   else (16000, 12000, 9000, 9000)),
     train_nms=dict(nms_pre=1024, nms_post=128, nms_thresh=0.8),
     test_nms=dict(nms_pre=1024, nms_post=100, nms_thresh=0.7))
 FR_CFG = dict(canvas=CANVAS)
 SPEC = voxelize.VoxelizerSpec(point_cloud_range=PCR,
                               voxel_size=(0.05, 0.05, 0.1),
-                              max_voxels=12000, max_points=5)
+                              max_voxels=_MAXV, max_points=5)
 
 
 def _view(rng, b=B, p=P, with_gt=False):
-    pts = np.stack([
-        rng.rand(b, p) * 69 + 0.5, rng.rand(b, p) * 78 - 39,
-        rng.rand(b, p) * 3.5 - 2.8, rng.rand(b, p)], axis=-1
-    ).astype(np.float32)
+    from detmatch_tpu.utils.synth_kitti import lidar_batch
+    pts, pvalid = lidar_batch(rng, b, p, PCR)
     view = dict(
         points=jnp.asarray(pts),
-        points_valid=jnp.ones((b, p), bool),
+        points_valid=jnp.asarray(pvalid),
         img=jnp.asarray(rng.randn(b, *CANVAS, 3).astype(np.float32)),
         img_shape=jnp.asarray(np.tile([[CANVAS[0], CANVAS[1]]], (b, 1)
                                       ).astype(np.float32)),

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("config")
     ap.add_argument("--work-dir", default=None)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--load-from-with-optimizer", default=None,
+                    help="SSL ckpt dir: restore model+optimizer, reset "
+                         "the iteration counter (bootstrapped resume)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--cfg-options", nargs="*", default=None)
@@ -73,13 +76,18 @@ def main():
                   num_unlabeled=cfg.get("num_unlabeled_samples", 1),
                   seed=args.seed, resume_from=args.resume_from,
                   load_from=cfg.get("load_from"),
+                  load_from_with_optimizer=(
+                      args.load_from_with_optimizer
+                      or cfg.get("load_from_with_optimizer")),
                   log_interval=cfg.get("log_interval", 10),
                   ckpt_interval=cfg.get("ckpt_interval", 5000),
                   val_dataset=val,
                   val_collate_fn=lambda s: collate_view(s, **ck),
                   eval_interval=(cfg.get("evaluation") or {}).get(
                       "interval"),
-                  profile_dir=cfg.get("profile_dir"))
+                  profile_dir=cfg.get("profile_dir"),
+                  vis_interval=cfg.get("vis_interval"),
+                  tensorboard=cfg.get("tensorboard", False))
     elif task == "pretrain_3d":
         from detmatch_tpu.apis.train_pretrain import train_pvrcnn
         from detmatch_tpu.data.collate import collate_view

@@ -151,15 +151,21 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
         ssl, tx3d, tx2d, vox_spec)
     # each phase is its own modest XLA program (fused SSL steps can exceed
     # compiler-service memory); outputs keep propagated shardings
+    # student vars/opt and the pre-EMA teacher are donated: successive
+    # iterations recycle those buffers in place instead of queueing
+    # fresh allocations (at production shapes two in-flight iterations
+    # exceed HBM)
     teacher_jit = jax.jit(teacher_fn, in_shardings=(repl, shard))
     stu3d_jit = jax.jit(stu3d_fn, in_shardings=(repl, repl, None, None,
                                                 None, None),
-                        out_shardings=(repl, repl, repl))
+                        out_shardings=(repl, repl, repl),
+                        donate_argnums=(0, 1))
     stu2d_jit = jax.jit(stu2d_fn, in_shardings=(repl, repl, None, None,
                                                 None, None),
-                        out_shardings=(repl, repl, repl))
+                        out_shardings=(repl, repl, repl),
+                        donate_argnums=(0, 1))
     ema_jit = jax.jit(ema_fn, in_shardings=(repl, repl, None),
-                      out_shardings=repl)
+                      out_shardings=repl, donate_argnums=(0,))
     state = jax.device_put(state, repl)
     opt_state = jax.device_put(opt_state, repl)
 

@@ -138,18 +138,42 @@ def ssl_step_bench(b=4, reduced=False, segmented=None, iters=5,
 
     teacher_fn, stu3d_fn, stu2d_fn, ema_fn = make_ssl_train_fns_split(
         ssl, tx3, tx2, spec)
-    jt, j2, je = jax.jit(teacher_fn), jax.jit(stu2d_fn), jax.jit(ema_fn)
+    # donate the consumed state/opt buffers: chained iterations then
+    # recycle memory in place instead of queueing fresh allocations
+    # (un-donated, >=2 in-flight iterations exhaust the 16G HBM at
+    # production shapes)
+    jt = jax.jit(teacher_fn)
+    j2 = jax.jit(stu2d_fn, donate_argnums=(0, 1))
+    je = jax.jit(ema_fn, donate_argnums=(0,))
+
+    def _sds(tree):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.result_type(x)), tree)
 
     t0 = time.time()
     pseudo, vb = jt(state["teacher"], batch)
     jax.block_until_ready(pseudo)
     log(f"[compile teacher {time.time() - t0:.0f}s]")
 
+    # abstract arg shapes for the MFU cost analysis (captured before the
+    # donating executions consume the concrete buffers)
+    sds = dict(
+        jt=_sds((state["teacher"], batch)),
+        j3=_sds((state["student"]["det3d"], opt3, vb, pseudo,
+                 jnp.int32(0), key)),
+        j2=_sds((state["student"]["det2d"], opt2, vb, pseudo,
+                 jnp.int32(0), key)),
+        je=_sds((state["teacher"],
+                 dict(det3d=state["student"]["det3d"],
+                      det2d=state["student"]["det2d"]), jnp.int32(0))),
+    )
+
     j3 = None
     if segmented is not True:
         try:
             t0 = time.time()
-            j3 = jax.jit(stu3d_fn)
+            j3 = jax.jit(stu3d_fn, donate_argnums=(0, 1))
             v3, o3, l3 = j3(state["student"]["det3d"], opt3, vb, pseudo,
                             jnp.int32(0), key)
             jax.block_until_ready(l3)
@@ -190,7 +214,10 @@ def ssl_step_bench(b=4, reduced=False, segmented=None, iters=5,
         return ({"student": student, "teacher": teacher}, opt3, opt2,
                 l3, l2)
 
-    st, q3, q2 = state, opt3, opt2
+    # the donating compile-phase calls consumed the original
+    # state/opt buffers; chain from their outputs
+    st = {"student": {"det3d": v3, "det2d": v2}, "teacher": tea}
+    q3, q2 = o3, o2
     best = None
     for _ in range(rounds):
         t0 = time.perf_counter()
@@ -202,6 +229,28 @@ def ssl_step_bench(b=4, reduced=False, segmented=None, iters=5,
     sps = 2 * b / best
     log(f"SSL step: {best * 1e3:.0f} ms/iter -> {1.0 / best:.2f} iters/s "
         f"(batch {b}+{b}); {sps:.1f} samples/s/chip")
+
+    # MFU estimate from XLA's own cost model (flops of the compiled
+    # programs; persistent cache makes the relowering cheap). v5e peak:
+    # 197 TFLOP/s bf16 — f32 convs/matmuls run as bf16 passes on TPU.
+    mfu = None
+    try:
+        flops = 0.0
+        progs = [(jt, sds["jt"]), (j2, sds["j2"]), (je, sds["je"])]
+        if hasattr(j3, "lower"):
+            progs.append((j3, sds["j3"]))
+        for fn, args in progs:
+            ca = fn.lower(*args).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops += float(ca.get("flops", 0.0))
+        if not hasattr(j3, "lower"):
+            log("[MFU excludes the segmented stu3d programs]")
+        mfu = flops / best / 197e12
+        log(f"~{flops / 1e12:.2f} TFLOP/iter -> MFU ~{mfu * 100:.1f}% "
+            f"of v5e bf16 peak")
+    except Exception as e:  # cost model optional
+        log(f"[cost_analysis unavailable: {type(e).__name__}]")
     return dict(sec_per_iter=best, iters_per_sec=1.0 / best,
-                samples_per_sec=sps,
+                samples_per_sec=sps, mfu=mfu,
                 vs_ref_per_device=sps / REF_SSL_SAMPLES_PER_SEC_PER_GPU)

@@ -69,6 +69,14 @@ class FasterRCNN(nn.Module):
             lambda louts, shape: rpn_proposals(louts, anchors, shape,
                                                nms_pre, max_img)
         )(rpn_outs, img_shapes)
+        # proposals are RoI coordinates, not a differentiable prediction:
+        # mmdet's RoIAlign backpropagates to features only, never to rois
+        # (and RPN trains through its own loss head). Detaching here both
+        # matches the reference and removes the backward slice through the
+        # proposal NMS/decode machinery (measured 6.6 GB of backward
+        # residuals at the production canvas, batch 4).
+        proposals = jax.lax.stop_gradient(proposals)
+        proposal_scores = jax.lax.stop_gradient(proposal_scores)
         if self.is_initializing():
             # create bbox_head params during init (loss/simple_test reach
             # them outside __call__)

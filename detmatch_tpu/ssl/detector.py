@@ -155,7 +155,10 @@ class SSLDetector:
         v2 = self.frcnn.lazy_init({"params": k2}, abstract(images),
                                   abstract(img_shapes), train=True)
         student = {"det3d": dict(v3), "det2d": dict(v2)}
-        teacher = jax.tree.map(lambda x: x, student)  # copy
+        # a REAL buffer copy, not an alias: the train loop donates the
+        # student buffers to the jitted step, and donating an aliased
+        # teacher would delete the teacher's arrays out from under it
+        teacher = jax.tree.map(jnp.copy, student)
         return {"student": student, "teacher": teacher}
 
     # ---------------- branch helpers ----------------

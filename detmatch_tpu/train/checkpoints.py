@@ -14,6 +14,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 
@@ -69,7 +70,10 @@ def load_pretrained_into_ssl(ssl_state, pretrain_payload, det_key):
         ssl_state: {'student': {det_key: vars, ...}, 'teacher': ...}
         pretrain_payload: a single detector's variables dict.
     """
-    copy = jax.tree.map(lambda x: x, pretrain_payload)
+    # teacher gets a REAL buffer copy — the train loop donates the
+    # student buffers, and donating arrays aliased into the teacher
+    # would delete them out from under it
+    copy = jax.tree.map(jnp.copy, pretrain_payload)
     out = jax.tree.map(lambda x: x, ssl_state)
     out["student"][det_key] = pretrain_payload
     out["teacher"][det_key] = copy

@@ -58,6 +58,11 @@ class PVRCNN(nn.Module):
     backbone_caps: Tuple[int, int, int, int] = (24000, 16000, 10000, 10000)
     train_nms: Dict = None
     test_nms: Dict = None
+    # PVRCNNHead overrides (grid_size, pool_nsamples, target_cfg, ...).
+    # Production uses the reference defaults; tiny/dryrun configs shrink
+    # the RoI head here — its grouped-gather backward (scatter-add of
+    # roi_per_image*G^3*nsample rows) dominates small-host runtimes.
+    roi_head_cfg: Dict = None
 
     def setup(self):
         Z = self.grid_size[2] + 1
@@ -76,7 +81,8 @@ class PVRCNN(nn.Module):
             point_cloud_range=self.point_cloud_range, name="pfe")
         self.point_head = PointHeadSimple(name="point_head")
         self.roi_head = PVRCNNHead(num_classes=self.num_classes,
-                                   name="roi_head")
+                                   name="roi_head",
+                                   **(self.roi_head_cfg or {}))
 
     def __call__(self, batch, train: bool = False):
         """Full forward. Returns a dict of predictions / loss ingredients.

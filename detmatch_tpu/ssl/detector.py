@@ -52,6 +52,10 @@ class SSLConfig:
     hard_pseudo_2d_weight: float = 4.0
     consistency_weights: Tuple[float, float, float] = (2.0, 20.0, 2.0)
     max_pseudo_gt: int = 64
+    # widths of the student-boxes decode feeding the consistency branch
+    # (reference Opd_HardPseudoLabel_3D out_bboxes path, no_nms=False);
+    # tiny/dryrun configs shrink these with the rest of the model
+    stu_boxes_nms: Tuple[int, int] = (128, 128)
     # pipeline switches: full DetMatch = (True, True, True, True);
     # ConfThr baselines (reference configs/detmatch/*/confthr_*) disable
     # fusion and one modality, thresholding teacher boxes directly.
@@ -181,7 +185,8 @@ class SSLDetector:
     def _det3d_student_boxes(self, out_train):
         """Student boxes from the training forward (DetMatch
         out_bboxes_key path, no_nms=False)."""
-        post = post_processing(out_train, nms_pre=128, nms_post=128)
+        pre, post_k = self.cfg.stu_boxes_nms
+        post = post_processing(out_train, nms_pre=pre, nms_post=post_k)
         return dict(boxes=post["boxes"], scores=post["sem_scores_full"],
                     valid=post["valid"])
 

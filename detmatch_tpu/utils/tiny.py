@@ -23,7 +23,17 @@ TINY_PV_CFG = dict(
     grid_size=(32, 32, 40), num_keypoints=32,
     backbone_caps=(384, 384, 256, 256),
     train_nms=dict(nms_pre=128, nms_post=24, nms_thresh=0.8),
-    test_nms=dict(nms_pre=128, nms_post=12, nms_thresh=0.7))
+    test_nms=dict(nms_pre=128, nms_post=12, nms_thresh=0.7),
+    # shrink the RoI head with the rest of the model: at the production
+    # 128 rois x 6^3 grid x 16 samples the grouped-gather backward is a
+    # ~30M-element scatter-add, which dominates single-core CPU hosts
+    # (measured 11 s/pass; 16 x 3^3 x 4 is ~0.1% of that)
+    roi_head_cfg=dict(
+        grid_size=3, pool_nsamples=(4, 4), pool_mlps=((16, 16), (16, 16)),
+        shared_fc=(32, 32), cls_fc=(32, 32), reg_fc=(32, 32),
+        target_cfg=dict(roi_per_image=16, fg_ratio=0.5, reg_fg_thresh=0.55,
+                        cls_fg_thresh=0.75, cls_bg_thresh=0.25,
+                        cls_bg_thresh_lo=0.1, hard_bg_ratio=0.8)))
 TINY_FR_CFG = dict(canvas=TINY_CANVAS, train_rpn_nms_pre=96,
                    train_rpn_max=48, test_rpn_nms_pre=96, test_rpn_max=24,
                    rcnn_num_samples=24)
@@ -93,7 +103,7 @@ def tiny_ssl(**cfg_overrides):
     from ..models.frcnn.faster_rcnn import FasterRCNN
     from ..models.pvrcnn.pvrcnn import PVRCNN
     from ..ssl.detector import SSLConfig, SSLDetector
-    cfg = dict(max_pseudo_gt=16)
+    cfg = dict(max_pseudo_gt=16, stu_boxes_nms=(24, 16))
     cfg.update(cfg_overrides)
     return SSLDetector(PVRCNN(**TINY_PV_CFG), FasterRCNN(**TINY_FR_CFG),
                        SSLConfig(**cfg)), TINY_SPEC

@@ -20,6 +20,7 @@ import flax.linen as nn
 from ...core import geometry, losses
 from ...core.coders import PointResidualCoder
 from ...ops import pointnet
+from ...ops.pallas.fps import fps_batched
 from ...ops.roipoint_pool import roipoint_pool
 from ..layers import MLP, MaskedBatchNorm
 from .roi_head import (assign_roi_targets, decode_roi_boxes,
@@ -50,8 +51,7 @@ class PointNet2MSG(nn.Module):
         feats = [points[..., 3:] if points.shape[-1] > 3 else None]
 
         for lv in range(len(self.npoints)):
-            kp_idx = jax.vmap(pointnet.farthest_point_sample, (0, 0, None))(
-                xyz[lv], valid[lv], self.npoints[lv])
+            kp_idx = fps_batched(xyz[lv], valid[lv], self.npoints[lv])
             new_xyz = pointnet.gather_rows(xyz[lv], kp_idx)
             new_valid = jnp.broadcast_to(
                 jnp.any(valid[lv], axis=1)[:, None], new_xyz.shape[:2])
@@ -213,8 +213,7 @@ class PointRCNNHead(nn.Module):
         valid = pv
         for lv, npoint in enumerate(self.sa_npoints):
             if npoint > 0:
-                kp_idx = jax.vmap(pointnet.farthest_point_sample,
-                                  (0, 0, None))(xyz, valid, npoint)
+                kp_idx = fps_batched(xyz, valid, npoint)
                 new_xyz = pointnet.gather_rows(xyz, kp_idx)
                 new_valid = jnp.broadcast_to(
                     jnp.any(valid, axis=1)[:, None], new_xyz.shape[:2])

@@ -27,7 +27,8 @@ import flax.linen as nn
 from ...core import geometry, iou as iou_mod, losses, nms as nms_mod
 from ...core.coders import ResidualCoder
 from ..layers import MLP, MaskedBatchNorm
-from .vsa import batched_group
+from .vsa import SAGroupMLP
+from ...ops.pallas.ball_query import ball_query_batched
 
 
 def proposal_layer(batch_box_preds, batch_cls_preds, nms_pre, nms_post,
@@ -328,11 +329,13 @@ class PVRCNNHead(nn.Module):
             # (~2 GB at train batch 8) — recompute it in the backward
             def pool_group(mdl, grid_, gv_, kp_, kpv_, pf_, gi=gi, r=r,
                            ns=ns, mlp=mlp):
-                grouped, slot_valid, cnt = batched_group(
-                    grid_, gv_, kp_, kpv_, pf_, r, ns)
-                out = MLP(tuple(mlp), name=f"pool_mlp{gi}",
-                          use_running_average=mdl.use_running_average)(
-                    grouped, mask=slot_valid,
+                idx, cnt = ball_query_batched(grid_, gv_, kp_, kpv_,
+                                              r, ns)
+                slot_valid = (jnp.arange(ns)[None, None, :]
+                              < cnt[..., None])
+                out = SAGroupMLP(tuple(mlp), name=f"pool_mlp{gi}",
+                                 use_running_average=mdl.use_running_average)(
+                    grid_, kp_, pf_, idx, slot_valid, cnt,
                     use_running_average=not train)
                 out = jnp.where(slot_valid[..., None], out, -1e10)
                 pooled = jnp.max(out, axis=2)

@@ -24,7 +24,8 @@ from .bev import BaseBEVBackbone, height_compression
 from .pvrcnn import DEFAULT_ANCHOR_CONFIGS, TRAIN_NMS, TEST_NMS
 from .roi_head import (assign_roi_targets, decode_roi_boxes, proposal_layer,
                        roi_grid_points, roi_head_loss)
-from .vsa import batched_group, voxel_centers
+from .vsa import SAGroupMLP, voxel_centers
+from ...ops.pallas.ball_query import ball_query_batched
 
 
 class VoxelRCNNHead(nn.Module):
@@ -57,12 +58,16 @@ class VoxelRCNNHead(nn.Module):
             lv = ms_features[name]
             centers = voxel_centers(lv["keys"], lv["shape"], lv["stride"],
                                     self.voxel_size, self.point_cloud_range)
-            grouped, slot_valid, cnt = batched_group(
-                grid, grid_valid, centers, lv["mask"], lv["feats"],
+            idx, cnt = ball_query_batched(
+                grid, grid_valid, centers, lv["mask"],
                 self.pool_radii[li], self.pool_nsamples[li])
-            out = MLP(tuple(self.pool_mlps[li]), name=f"pool_mlp{li}",
-                      use_running_average=self.use_running_average)(
-                grouped, mask=slot_valid, use_running_average=not train)
+            slot_valid = (jnp.arange(self.pool_nsamples[li])[None, None, :]
+                          < cnt[..., None])
+            out = SAGroupMLP(tuple(self.pool_mlps[li]),
+                             name=f"pool_mlp{li}",
+                             use_running_average=self.use_running_average)(
+                grid, centers, lv["feats"], idx, slot_valid, cnt,
+                use_running_average=not train)
             out = jnp.where(slot_valid[..., None], out, -1e10)
             pooled = jnp.max(out, axis=2)
             pooled = jnp.where((cnt > 0)[..., None], pooled, 0.0)

@@ -7,10 +7,13 @@ voxel centers of x_conv1..4 — each SA source has two radius groups with
 their own MLPs; results are concatenated (640ch) and fused to 128 via
 Linear+BN+ReLU.
 
-TPU design: ball queries are vmapped per sample; the shared MLPs and their
-BatchNorms run on the full batched (B, M, nsample, C) tensor with validity
-masks, so BN statistics aggregate over the whole batch exactly like the
-reference's BatchNorm over stacked points.
+TPU design: FPS and ball query run as natively-batched Pallas kernels
+(``ops/pallas/{fps,ball_query}.py``; XLA fallbacks off-TPU); grouping is
+one fused row gather from the concatenated (xyz | feats) table; the
+shared MLPs and their BatchNorms run on the full batched
+(B, M, nsample, C) tensor with validity masks, so BN statistics
+aggregate over the whole batch exactly like the reference's BatchNorm
+over stacked points.
 """
 from __future__ import annotations
 
@@ -21,6 +24,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops import pointnet
+from ...ops.pallas.ball_query import ball_query_batched
+from ...ops.pallas.fps import fps_batched
 from ...ops.voxelize import INVALID_KEY, delinearize
 from ..layers import MLP, MaskedBatchNorm
 
@@ -93,18 +98,72 @@ def batched_group(keypoints, kp_valid, xyz, xyz_valid, feats, radius,
         grouped (B, M, nsample, 3 + C) keypoint-relative, masked;
         slot_valid (B, M, nsample) bool; cnt (B, M) int32.
     """
-    idx, cnt = jax.vmap(
-        pointnet.ball_query, (0, 0, 0, 0, None, None)
-    )(keypoints, kp_valid, xyz, xyz_valid, radius, nsample)
-    gxyz = pointnet.gather_rows(xyz, idx)  # (B, M, ns, 3)
-    rel = gxyz - keypoints[:, :, None, :]
-    parts = [rel]
+    idx, cnt = ball_query_batched(
+        keypoints, kp_valid, xyz, xyz_valid, radius, nsample)
     if feats is not None and feats.shape[-1] > 0:
-        parts.append(pointnet.gather_rows(feats, idx))
-    grouped = jnp.concatenate(parts, axis=-1)
+        # one fused gather from the concatenated (xyz | feats) table —
+        # halves the gather launches (and one-hot recomputes on TPU)
+        tbl = jnp.concatenate([xyz, feats], axis=-1)
+        g = pointnet.gather_rows(tbl, idx)  # (B, M, ns, 3 + C)
+        rel = g[..., :3] - keypoints[:, :, None, :]
+        grouped = jnp.concatenate([rel, g[..., 3:]], axis=-1)
+    else:
+        gxyz = pointnet.gather_rows(xyz, idx)  # (B, M, ns, 3)
+        grouped = gxyz - keypoints[:, :, None, :]
     slot_valid = (jnp.arange(nsample)[None, None, :] < cnt[..., None])
     grouped = jnp.where(slot_valid[..., None], grouped, 0.0)
     return grouped, slot_valid, cnt
+
+
+class SAGroupMLP(nn.Module):
+    """Pointwise MLP over grouped neighbors with the FIRST layer
+    decomposed into per-point and per-center terms.
+
+    The first Dense is linear in its input, so for neighbor n of center
+    m (``use_bias=False`` throughout):
+
+        W @ [p_n - c_m | f_n]  =  W @ [p_n | f_n]  -  W @ [c_m | 0]
+
+    The left term is computed ONCE per point (an (N, 3+C) x (3+C, C0)
+    matmul on the point table) and the right once per center; the
+    grouped tensor is then built by gathering the (N, C0) transformed
+    table instead of the (N, 3+C) raw one. This removes the
+    (B*M*nsample, 3+C, C0) grouped matmul entirely (3.5M rows in the
+    RoI-grid pool) and, for wide inputs (RoI pool: 131ch -> 64ch),
+    halves the gathered bytes. Exact algebra — the parameter tree
+    (``dense{i}``/``bn{i}``) is identical to the plain ``MLP`` stack it
+    replaces, so checkpoints and the torch importer are unaffected.
+    """
+    features: Tuple[int, ...]
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, keypoints, xyz, feats, idx, slot_valid, cnt,
+                 use_running_average=None):
+        b, m = keypoints.shape[:2]
+        d0 = nn.Dense(self.features[0], use_bias=False, name="dense0")
+        if feats is not None and feats.shape[-1] > 0:
+            table = jnp.concatenate([xyz, feats], axis=-1)
+            cen_in = jnp.concatenate(
+                [keypoints,
+                 jnp.zeros((b, m, feats.shape[-1]), keypoints.dtype)],
+                axis=-1)
+        else:
+            table = xyz
+            cen_in = keypoints
+        pre = d0(table)                      # (B, N, C0)
+        cen = d0(cen_in)                     # (B, M, C0)
+        z = pointnet.gather_rows(pre, idx) - cen[:, :, None, :]
+        x = jnp.where(slot_valid[..., None], z, 0.0)
+        for i, f in enumerate(self.features):
+            if i > 0:
+                x = nn.Dense(f, use_bias=False, name=f"dense{i}")(x)
+            x = MaskedBatchNorm(
+                name=f"bn{i}",
+                use_running_average=self.use_running_average,
+            )(x, mask=slot_valid, use_running_average=use_running_average)
+            x = nn.relu(x)
+        return x
 
 
 class SABranch(nn.Module):
@@ -124,11 +183,13 @@ class SABranch(nn.Module):
         outs = []
         for gi, (r, ns, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
-            grouped, slot_valid, cnt = batched_group(
-                keypoints, kp_valid, xyz, xyz_valid, feats, r, ns)
-            out = MLP(tuple(mlp), name=f"mlp{gi}",
-                      use_running_average=self.use_running_average)(
-                grouped, mask=slot_valid, use_running_average=not train)
+            idx, cnt = ball_query_batched(
+                keypoints, kp_valid, xyz, xyz_valid, r, ns)
+            slot_valid = (jnp.arange(ns)[None, None, :] < cnt[..., None])
+            out = SAGroupMLP(tuple(mlp), name=f"mlp{gi}",
+                             use_running_average=self.use_running_average)(
+                keypoints, xyz, feats, idx, slot_valid, cnt,
+                use_running_average=not train)
             out = jnp.where(slot_valid[..., None], out, -pointnet.BIG_DIST)
             pooled = jnp.max(out, axis=2)  # (B, M, C')
             pooled = jnp.where((cnt > 0)[..., None], pooled, 0.0)
@@ -180,9 +241,8 @@ class VoxelSetAbstraction(nn.Module):
         # backward pass keeps the SSL step inside HBM at batch 8
         SAB = nn.remat(SABranch, static_argnums=(6,))
 
-        kp_idx = jax.vmap(pointnet.farthest_point_sample,
-                          (0, 0, None))(points[..., :3], points_valid,
-                                        self.num_keypoints)
+        kp_idx = fps_batched(points[..., :3], points_valid,
+                             self.num_keypoints)
         keypoints = pointnet.gather_rows(points[..., :3], kp_idx)
         kp_valid = jnp.broadcast_to(
             jnp.any(points_valid, axis=1)[:, None],

@@ -1,10 +1,18 @@
 """Plain row gather as one-hot matmul (Pallas/TPU), with custom VJP.
 
-Generic replacement for ``x[idx]`` row gathers on TPU, where dynamic
-gathers run at ~10M rows/s. One-hot matmuls run the same data movement on
-the MXU: out = 1[idx == n] @ X. Used by the point-set ops (VSA grouping,
-RoI-grid pooling, keypoint selection) through
-``pointnet.gather_rows``.
+Alternative formulation of ``x[idx]`` row gathers: out = 1[idx == n] @ X
+on the MXU, O(Q·N·C) FLOPs instead of Q dynamic row fetches.
+
+NOT used on the model hot path: measured head-to-head on TPU v5e at the
+RoI-grid-pool shape (table 2048x128, 3.5M rows, sum-consumed output) the
+barrier-fenced XLA gather (``pointnet.gather_rows``) wins 12.6 ms vs
+105.7 ms, and the bf16 one-hot cast costs ~0.3% relative error, which a
+gather should not introduce. The crossover only favours one-hot for
+tables of a few hundred rows (N·C below ~10⁴), where the GEMM is cheap
+enough to beat per-row gather latency. Kept as a building block for
+those cases; both single-sample and natively-batched (explicit batch
+grid dimension — vmapping a pallas_call through the Mosaic pipeline
+compiles pathologically slowly) variants are provided and tested.
 """
 from __future__ import annotations
 
@@ -68,22 +76,30 @@ def _gather_fwd(x, idx, q_tile=512, n_tile=512):
     return out[:q]
 
 
-def _scatter_kernel(idx_ref, d_ref, out_ref, *, q_tile):
+def _scatter_kernel(idx_ref, d_ref, out_ref):
+    """One (n-tile, q-tile) grid cell: out[n-tile] += onehotᵀ @ d[q-tile].
+
+    The q axis is the INNER grid dim; the out block is constant along it,
+    so the accumulation revisits the same VMEM tile (init at q-step 0).
+    Tiling both axes keeps VMEM bounded for multi-million-row gathers
+    (the RoI-grid pool backward scatters ~442k rows per sample)."""
     tn, c = out_ref.shape
-    q = idx_ref.shape[0]
     i = pl.program_id(0)
-    base = i * tn
-    acc = jnp.zeros((tn, c), jnp.float32)
-    for qt in range(q // q_tile):
-        idx = idx_ref[pl.ds(qt * q_tile, q_tile), 0]
-        dvals = d_ref[pl.ds(qt * q_tile, q_tile), :]
-        rows = base + jax.lax.broadcasted_iota(jnp.int32, (tn, q_tile), 0)
-        onehot_t = (rows == idx[None, :]).astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
-            onehot_t, dvals,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+    qt = pl.program_id(1)
+
+    @pl.when(qt == 0)
+    def _init():
+        out_ref[:] = jnp.zeros((tn, c), jnp.float32)
+
+    idx = idx_ref[:, 0]
+    dvals = d_ref[:]
+    rows = i * tn + jax.lax.broadcasted_iota(
+        jnp.int32, (tn, idx.shape[0]), 0)
+    onehot_t = (rows == idx[None, :]).astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        onehot_t, dvals,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_total", "q_tile",
@@ -96,20 +112,134 @@ def _scatter_add(dout, idx, n_total, q_tile=512, n_tile=512):
     d_p = jnp.zeros((q_pad, c), jnp.bfloat16).at[:q].set(
         dout.astype(jnp.bfloat16))
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, q_tile=q_tile),
-        grid=(n_pad // n_tile,),
+        _scatter_kernel,
+        grid=(n_pad // n_tile, q_pad // q_tile),
         in_specs=[
-            pl.BlockSpec((q_pad, 1), lambda i: (0, 0),
+            pl.BlockSpec((q_tile, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, c), lambda i: (0, 0),
+            pl.BlockSpec((q_tile, c), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_tile, c), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((n_tile, c), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.float32),
         interpret=_interpret(),
     )(idx_p, d_p)
     return out[:n_total]
+
+
+def _gather_kernel_batched(idx_ref, x_ref, out_ref, *, n_tile):
+    tq = idx_ref.shape[1]
+    n, c = x_ref.shape[1], x_ref.shape[2]
+    idx = idx_ref[0, :, 0]
+    acc = jnp.zeros((tq, c), jnp.float32)
+    for nt in range(n // n_tile):
+        x_tile = x_ref[0, nt * n_tile:(nt + 1) * n_tile, :]
+        cols = nt * n_tile + jax.lax.broadcasted_iota(
+            jnp.int32, (tq, n_tile), 1)
+        onehot = (idx[:, None] == cols).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            onehot, x_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "n_tile"))
+def _gather_fwd_batched(x, idx, q_tile=512, n_tile=512):
+    """x (B, N, C) f32, idx (B, Q) int32 (-1 → zeros) → (B, Q, C) f32.
+
+    Explicit batch grid dimension with per-sample block index maps —
+    vmapping the single-sample pallas_call compiles pathologically
+    slowly through Mosaic (measured 30+ min)."""
+    b, n, c = x.shape
+    q = idx.shape[1]
+    n_pad = _round_up(n, n_tile)
+    q_pad = _round_up(q, q_tile)
+    x_p = jnp.zeros((b, n_pad, c), jnp.bfloat16).at[:, :n].set(
+        x.astype(jnp.bfloat16))
+    idx_p = jnp.full((b, q_pad, 1), -1, jnp.int32).at[:, :q, 0].set(idx)
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel_batched, n_tile=n_tile),
+        grid=(b, q_pad // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, 1), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, c), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_tile, c), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, q_pad, c), jnp.float32),
+        interpret=_interpret(),
+    )(idx_p, x_p)
+    return out[:, :q]
+
+
+def _scatter_kernel_batched(idx_ref, d_ref, out_ref):
+    tn, c = out_ref.shape[1], out_ref.shape[2]
+    i = pl.program_id(1)
+    qt = pl.program_id(2)
+
+    @pl.when(qt == 0)
+    def _init():
+        out_ref[0] = jnp.zeros((tn, c), jnp.float32)
+
+    idx = idx_ref[0, :, 0]
+    dvals = d_ref[0]
+    rows = i * tn + jax.lax.broadcasted_iota(
+        jnp.int32, (tn, idx.shape[0]), 0)
+    onehot_t = (rows == idx[None, :]).astype(jnp.bfloat16)
+    out_ref[0] += jax.lax.dot_general(
+        onehot_t, dvals,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_total", "q_tile",
+                                             "n_tile"))
+def _scatter_add_batched(dout, idx, n_total, q_tile=512, n_tile=512):
+    b, q, c = dout.shape
+    q_pad = _round_up(q, q_tile)
+    n_pad = _round_up(n_total, n_tile)
+    idx_p = jnp.full((b, q_pad, 1), -1, jnp.int32).at[:, :q, 0].set(idx)
+    d_p = jnp.zeros((b, q_pad, c), jnp.bfloat16).at[:, :q].set(
+        dout.astype(jnp.bfloat16))
+    out = pl.pallas_call(
+        _scatter_kernel_batched,
+        grid=(b, n_pad // n_tile, q_pad // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, 1), lambda bi, i, j: (bi, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, c), lambda bi, i, j: (bi, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_tile, c), lambda bi, i, j: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+        interpret=_interpret(),
+    )(idx_p, d_p)
+    return out[:, :n_total]
+
+
+@jax.custom_vjp
+def onehot_take_rows_batched(x, idx):
+    """x (B, N, C) f32, idx (B, Q) int32 → (B, Q, C); idx -1 → zeros."""
+    return _gather_fwd_batched(x, idx)
+
+
+def _vjp_fwd_b(x, idx):
+    template = jnp.zeros((x.shape[0], x.shape[1], 0), x.dtype)
+    return _gather_fwd_batched(x, idx), (idx, template)
+
+
+def _vjp_bwd_b(res, dout):
+    idx, template = res
+    n, dtype = template.shape[1], template.dtype
+    return _scatter_add_batched(dout, idx, n).astype(dtype), None
+
+
+onehot_take_rows_batched.defvjp(_vjp_fwd_b, _vjp_bwd_b)
 
 
 @jax.custom_vjp

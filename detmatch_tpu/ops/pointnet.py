@@ -61,6 +61,13 @@ def gather_rows(x, idx):
     """Batched row gather via a barrier-fenced flat gather (fenced
     scatter-add backward).
 
+    Measured head-to-head on TPU v5e at the RoI-grid-pool shape
+    (B=8 table 2048x128, 3.5M gathered rows, sum-consumed output):
+    this fenced XLA gather runs in 12.6 ms fwd, while the one-hot-GEMM
+    formulation (``ops/pallas/onehot_rows``) takes 105.7 ms and loses
+    ~0.3% precision to the bf16 MXU cast — so the one-hot kernels are
+    NOT routed here; they exist for genuinely tiny tables only.
+
     Args:
         x: (B, N, C); idx: (B, ...) int32 row indices into N.
     Returns:

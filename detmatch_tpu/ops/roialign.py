@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -82,7 +83,10 @@ def multilevel_roi_align(feats_per_level, rois, strides, out_size=7,
     (mmdet: level = floor(log2(sqrt(area) / 56 + 1e-6)) clamped), pool from
     that level.
 
-    Static-shape approach: pool every RoI from every level, then select.
+    All levels are flattened into one (sum_l H_l*W_l, C) table and each
+    RoI's bilinear corners are fetched from its own level's region with
+    ONE fenced gather (4 corners stacked), keeping static shapes without
+    pooling every RoI from every level.
 
     Args:
         feats_per_level: list of (H_l, W_l, C) for strides e.g. (4, 8, 16, 32).
@@ -94,9 +98,72 @@ def multilevel_roi_align(feats_per_level, rois, strides, out_size=7,
         (rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]), 1e-6))
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
     lvl = jnp.clip(lvl, 0, len(feats_per_level) - 1).astype(jnp.int32)
-    pooled = jnp.stack([
-        roi_align(f, rois, 1.0 / s, out_size=out_size, sampling=sampling)
-        for f, s in zip(feats_per_level, strides)
-    ], axis=0)  # (L, R, o, o, C)
-    onehot = jax.nn.one_hot(lvl, len(feats_per_level), dtype=pooled.dtype)
-    return jnp.einsum("lrijc,rl->rijc", pooled, onehot)
+
+    # One flat (sum_l H_l*W_l, C) table; each RoI samples only ITS level
+    # through one fenced gather — pooling every RoI from every level and
+    # one-hot-selecting (the obvious static-shape form) costs 4x the
+    # gather traffic and runs the gathers unfenced (fused, the slow
+    # XLA-TPU path; see ops/pointnet.py:_fenced_take_rows).
+    from . import pointnet  # local import: avoid cycle at module load
+
+    r = rois.shape[0]
+    hs = jnp.asarray([f.shape[0] for f in feats_per_level], jnp.int32)
+    ws = jnp.asarray([f.shape[1] for f in feats_per_level], jnp.int32)
+    sizes = [f.shape[0] * f.shape[1] for f in feats_per_level]
+    offs = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]),
+                       jnp.int32)
+    c = feats_per_level[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats_per_level],
+                           axis=0)
+
+    inv_s = jnp.asarray([1.0 / s for s in strides],
+                        feats_per_level[0].dtype)[lvl]  # (R,)
+    h_r, w_r, off_r = hs[lvl], ws[lvl], offs[lvl]
+
+    x1 = rois[:, 0] * inv_s - 0.5
+    y1 = rois[:, 1] * inv_s - 0.5
+    x2 = rois[:, 2] * inv_s - 0.5
+    y2 = rois[:, 3] * inv_s - 0.5
+    bw = (x2 - x1) / out_size
+    bh = (y2 - y1) / out_size
+
+    ij = jnp.arange(out_size, dtype=rois.dtype)
+    sg = (jnp.arange(sampling, dtype=rois.dtype) + 0.5) / sampling
+    sx = (x1[:, None, None]
+          + (ij[None, :, None] + sg[None, None, :]) * bw[:, None, None])
+    sy = (y1[:, None, None]
+          + (ij[None, :, None] + sg[None, None, :]) * bh[:, None, None])
+    gx = jnp.broadcast_to(sx[:, None, :, None, :],
+                          (r, out_size, out_size, sampling, sampling))
+    gy = jnp.broadcast_to(sy[:, :, None, :, None],
+                          (r, out_size, out_size, sampling, sampling))
+    ns = out_size * out_size * sampling * sampling
+    gx = gx.reshape(r, ns)
+    gy = gy.reshape(r, ns)
+
+    wl = w_r[:, None].astype(rois.dtype)
+    hl = h_r[:, None].astype(rois.dtype)
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w_r[:, None] - 1)
+    x1i = jnp.clip(x0i + 1, 0, w_r[:, None] - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h_r[:, None] - 1)
+    y1i = jnp.clip(y0i + 1, 0, h_r[:, None] - 1)
+    lx = jnp.clip(gx - x0, 0.0, 1.0)
+    ly = jnp.clip(gy - y0, 0.0, 1.0)
+    base = off_r[:, None]
+    w_int = w_r[:, None]
+
+    idx4 = jnp.stack([base + y0i * w_int + x0i,
+                      base + y0i * w_int + x1i,
+                      base + y1i * w_int + x0i,
+                      base + y1i * w_int + x1i], axis=0)
+    g4 = pointnet._fenced_take_rows(flat, idx4.reshape(-1))
+    g4 = g4.reshape(4, r, ns, c)
+    w4 = jnp.stack([(1 - ly) * (1 - lx), (1 - ly) * lx,
+                    ly * (1 - lx), ly * lx], axis=0)
+    v = jnp.sum(g4 * w4[..., None], axis=0)
+    inside = (gx > -1.0) & (gx < wl) & (gy > -1.0) & (gy < hl)
+    v = jnp.where(inside[..., None], v, 0.0)
+    v = v.reshape(r, out_size, out_size, sampling * sampling, c)
+    return jnp.mean(v, axis=3)

@@ -91,3 +91,139 @@ def test_gather_rows_grad_matches_xla():
     g2 = jax.grad(lambda x: jnp.sum(x[idx] ** 2))(x)
     err = float(jnp.abs(g - g2).max() / (jnp.abs(g2).max() + 1e-9))
     assert err < 0.01, err
+
+
+def test_onehot_batched_gather_fwd_bwd():
+    """Natively-batched one-hot gather matches take_along_axis fwd+bwd
+    (explicit batch grid dim; vmap of the pallas_call is not used)."""
+    from detmatch_tpu.ops.pallas.onehot_rows import onehot_take_rows_batched
+    rng = np.random.RandomState(1)
+    b, n, c, q = 3, 40, 8, 21
+    x = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n, (b, q)).astype(np.int32))
+    out = onehot_take_rows_batched(x, idx)
+    ref = jnp.take_along_axis(x, idx[..., None], axis=1)
+    err = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert err < 0.01, err
+    # -1 indices yield zero rows
+    idx_m = idx.at[:, 0].set(-1)
+    out_m = onehot_take_rows_batched(x, idx_m)
+    np.testing.assert_allclose(np.asarray(out_m[:, 0]), 0.0)
+
+    ct = jnp.asarray(rng.randn(b, q, c).astype(np.float32))
+    g = jax.grad(lambda xx: jnp.vdot(
+        onehot_take_rows_batched(xx, idx), ct))(x)
+    g2 = jax.grad(lambda xx: jnp.vdot(
+        jnp.take_along_axis(xx, idx[..., None], axis=1), ct))(x)
+    err = float(jnp.abs(g - g2).max() / (jnp.abs(g2).max() + 1e-9))
+    assert err < 0.01, err
+
+
+def test_ball_query_batched_matches_xla():
+    """Pallas batched ball query == vmapped XLA ball query (idx + cnt),
+    including validity masks, padding to tile boundaries, and the
+    first-neighbor broadcast into unused slots."""
+    from detmatch_tpu.ops.pallas.ball_query import ball_query_batched
+    from detmatch_tpu.ops import pointnet
+    rng = np.random.RandomState(7)
+    b, m, n, ns, radius = 2, 100, 300, 8, 0.9
+    centers = jnp.asarray(rng.uniform(-2, 2, (b, m, 3)).astype(np.float32))
+    points = jnp.asarray(rng.uniform(-2, 2, (b, n, 3)).astype(np.float32))
+    cv = jnp.asarray(rng.rand(b, m) > 0.1)
+    pv = jnp.asarray(rng.rand(b, n) > 0.2)
+    idx, cnt = ball_query_batched(centers, cv, points, pv, radius, ns,
+                                  impl="pallas")
+    idx_r, cnt_r = jax.vmap(
+        pointnet.ball_query, (0, 0, 0, 0, None, None)
+    )(centers, cv, points, pv, radius, ns)
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_r))
+    # compare idx only where the ball is non-empty (empty → garbage by
+    # contract in both implementations)
+    nonempty = np.asarray(cnt) > 0
+    np.testing.assert_array_equal(
+        np.asarray(idx)[nonempty], np.asarray(idx_r)[nonempty])
+
+
+def test_fps_batched_matches_xla():
+    """Pallas batched FPS == vmapped XLA FPS (greedy max-min with
+    first-occurrence argmax), incl. validity masks and the all-invalid
+    degenerate row."""
+    from detmatch_tpu.ops.pallas.fps import fps_batched
+    rng = np.random.RandomState(11)
+    b, n, k = 3, 500, 64
+    xyz = jnp.asarray(rng.uniform(-10, 10, (b, n, 3)).astype(np.float32))
+    valid = jnp.asarray(rng.rand(b, n) > 0.2)
+    idx_p = fps_batched(xyz, valid, k, impl="pallas")
+    idx_x = fps_batched(xyz, valid, k, impl="xla")
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    v2 = valid.at[0].set(False)
+    p2 = fps_batched(xyz, v2, k, impl="pallas")
+    x2 = fps_batched(xyz, v2, k, impl="xla")
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(x2))
+
+
+def test_sa_group_mlp_decomposition_exact():
+    """SAGroupMLP (first Dense decomposed into per-point + per-center
+    terms) == plain MLP on the grouped [rel | feat] tensor, same params
+    (the param trees are identical by construction)."""
+    from detmatch_tpu.models.layers import MLP
+    from detmatch_tpu.models.pvrcnn.vsa import SAGroupMLP, batched_group
+    from detmatch_tpu.ops.pallas.ball_query import ball_query_batched
+    import jax
+
+    rng = np.random.RandomState(5)
+    b, m, n, ns, c, r = 2, 60, 200, 8, 12, 1.2
+    kp = jnp.asarray(rng.uniform(-3, 3, (b, m, 3)).astype(np.float32))
+    xyz = jnp.asarray(rng.uniform(-3, 3, (b, n, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    kv = jnp.asarray(rng.rand(b, m) > 0.1)
+    pv = jnp.asarray(rng.rand(b, n) > 0.1)
+
+    idx, cnt = ball_query_batched(kp, kv, xyz, pv, r, ns)
+    slot_valid = jnp.arange(ns)[None, None, :] < cnt[..., None]
+
+    mod = SAGroupMLP((16, 24))
+    vs = mod.init(jax.random.PRNGKey(0), kp, xyz, feats, idx, slot_valid,
+                  cnt, use_running_average=False)
+    out, _ = mod.apply(vs, kp, xyz, feats, idx, slot_valid, cnt,
+                       use_running_average=False,
+                       mutable=["batch_stats"])
+
+    grouped, sv2, cnt2 = batched_group(kp, kv, xyz, pv, feats, r, ns)
+    np.testing.assert_array_equal(np.asarray(sv2), np.asarray(slot_valid))
+    ref_mod = MLP((16, 24))
+    ref, _ = ref_mod.apply(vs, grouped, mask=slot_valid,
+                           use_running_average=False,
+                           mutable=["batch_stats"])
+    err = float(jnp.abs(jnp.where(slot_valid[..., None], out - ref, 0.0)
+                        ).max())
+    assert err < 1e-4, err
+
+
+def test_multilevel_roi_align_matches_per_level():
+    """Single-fenced-gather multilevel RoIAlign == per-level roi_align
+    selected by the mmdet level rule."""
+    from detmatch_tpu.ops.roialign import roi_align, multilevel_roi_align
+    rng = np.random.RandomState(9)
+    c = 16
+    strides = (4, 8, 16, 32)
+    feats = [jnp.asarray(rng.randn(96 // (s // 4), 160 // (s // 4), c)
+                         .astype(np.float32)) for s in strides]
+    r = 24
+    cx = rng.uniform(20, 600, r)
+    cy = rng.uniform(20, 350, r)
+    w = rng.uniform(8, 400, r)
+    h = rng.uniform(8, 300, r)
+    rois = jnp.asarray(np.stack([cx - w / 2, cy - h / 2,
+                                 cx + w / 2, cy + h / 2], 1)
+                       .astype(np.float32))
+    out = multilevel_roi_align(feats, rois, strides, out_size=7)
+    scale = np.sqrt(np.maximum(w * h, 1e-6))
+    lvl = np.clip(np.floor(np.log2(scale / 56 + 1e-6)), 0,
+                  3).astype(int)
+    ref = np.stack([
+        np.asarray(roi_align(feats[l], rois[i:i + 1], 1.0 / strides[l],
+                             out_size=7))[0]
+        for i, l in enumerate(lvl)])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                               atol=1e-4)

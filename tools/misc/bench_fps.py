@@ -79,5 +79,25 @@ def main():
     chained("dot-trick B=8 (per-batch)", dot, xyz8, v8)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("PALLAS"):
     main()
+
+
+def main_pallas():
+    """Pallas kernel vs XLA at production VSA shape (run on the chip)."""
+    from detmatch_tpu.ops.pallas.fps import fps_batched
+    rng = np.random.RandomState(0)
+    n, k, b = 18432, 2048, 8
+    xyz = jnp.asarray(rng.rand(b, n, 3).astype(np.float32) * 60)
+    v = jnp.ones((b, n), bool)
+    pal = jax.jit(lambda x, vv: fps_batched(x, vv, k, impl="pallas"))
+    cur = jax.jit(lambda x, vv: fps_batched(x, vv, k, impl="xla"))
+    # parity on-chip first
+    same = np.array_equal(np.asarray(pal(xyz, v)), np.asarray(cur(xyz, v)))
+    print("pallas == xla:", same, flush=True)
+    chained("pallas B=8 N=18432 K=2048", pal, xyz, v)
+    chained("xla    B=8 N=18432 K=2048", cur, xyz, v)
+
+
+if __name__ == "__main__" and os.environ.get("PALLAS"):
+    main_pallas()

@@ -46,45 +46,66 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _bq_kernel(cen_ref, pts_ref, idx_ref, cnt_ref, *, r2, nsample,
-               tile_n, n_pad):
+def _bq_kernel(cen_ref, pts_ref, idx_ref, cnt_ref, acc_scr, cnt_scr, *,
+               r2, nsample, tile_n):
+    """Grid = (batch, center tiles, point tiles). The point-tile axis is
+    the fastest-varying grid dimension; (cnt, acc) carry across its steps
+    in VMEM scratch (Mosaic cannot dynamic-slice the lane axis, so an
+    in-kernel fori over point tiles is not lowerable — and grid steps get
+    automatic double-buffered DMA of the point tiles for free)."""
+    t = pl.program_id(2)
+    n_tiles = pl.num_programs(2)
     cx = cen_ref[0, 0, :]
     cy = cen_ref[0, 1, :]
     cz = cen_ref[0, 2, :]
     tm = cx.shape[0]
-    n_tiles = n_pad // tile_n
 
-    def body(t, carry):
-        cnt, acc = carry
-        px = pts_ref[0, 0, pl.ds(t * tile_n, tile_n)]
-        py = pts_ref[0, 1, pl.ds(t * tile_n, tile_n)]
-        pz = pts_ref[0, 2, pl.ds(t * tile_n, tile_n)]
-        dx = cx[:, None] - px[None, :]
-        dy = cy[:, None] - py[None, :]
-        dz = cz[:, None] - pz[None, :]
-        d2 = dx * dx + dy * dy + dz * dz
-        within = d2 <= r2  # (tm, tile_n)
-        w32 = within.astype(jnp.int32)
-        rank = cnt[:, None] + jnp.cumsum(w32, axis=1)  # global, inclusive
-        cols = t * tile_n + jax.lax.broadcasted_iota(
-            jnp.int32, (tm, tile_n), 1)
-        sel = within & (rank <= nsample)
-        for s in range(nsample):
-            hit = sel & (rank == (s + 1))
-            contrib = jnp.sum(jnp.where(hit, cols, 0), axis=1)  # (tm,)
-            acc = acc.at[s].add(contrib)
-        return cnt + jnp.sum(w32, axis=1), acc
+    @pl.when(t == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        cnt_scr[:] = jnp.zeros_like(cnt_scr)
 
-    cnt0 = jnp.zeros((tm,), jnp.int32)
-    acc0 = jnp.zeros((nsample, tm), jnp.int32)
-    cnt, acc = jax.lax.fori_loop(0, n_tiles, body, (cnt0, acc0))
+    # Mosaic has no cumsum lowering; an inclusive lane-axis cumsum is a
+    # matmul with an upper-triangular ones matrix (exact in f32 for
+    # counts < 2^24 — tile_n is 512).
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_n), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (tile_n, tile_n), 1)
+           ).astype(jnp.float32)
 
-    cnt = jnp.minimum(cnt, nsample)
-    # reference semantics: unused slots hold the first neighbor
-    slot = jax.lax.broadcasted_iota(jnp.int32, (nsample, tm), 0)
-    filled = slot < jnp.maximum(cnt, 1)[None, :]
-    idx_ref[0] = jnp.where(filled, acc, acc[0:1, :])
-    cnt_ref[0] = jnp.broadcast_to(cnt[None, :], (8, tm))
+    px = pts_ref[0, 0, :]
+    py = pts_ref[0, 1, :]
+    pz = pts_ref[0, 2, :]
+    dx = cx[:, None] - px[None, :]
+    dy = cy[:, None] - py[None, :]
+    dz = cz[:, None] - pz[None, :]
+    d2 = dx * dx + dy * dy + dz * dz
+    within = d2 <= r2  # (tm, tile_n)
+    wf = within.astype(jnp.float32)
+    csum = jnp.dot(wf, tri,
+                   preferred_element_type=jnp.float32)  # (tm, tile_n)
+    cnt = cnt_scr[0, :]
+    rank = cnt[:, None] + csum.astype(jnp.int32)  # global, inclusive
+    cols = t * tile_n + jax.lax.broadcasted_iota(
+        jnp.int32, (tm, tile_n), 1)
+    sel = within & (rank <= nsample)
+    contribs = []
+    for s in range(nsample):
+        hit = sel & (rank == (s + 1))
+        contribs.append(
+            jnp.sum(jnp.where(hit, cols, 0), axis=1))  # (tm,)
+    acc = acc_scr[:] + jnp.stack(contribs, axis=0)  # (nsample, tm)
+    acc_scr[:] = acc
+    new_cnt = cnt + jnp.sum(wf, axis=1).astype(jnp.int32)
+    cnt_scr[0, :] = new_cnt
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        fin = jnp.minimum(new_cnt, nsample)
+        # reference semantics: unused slots hold the first neighbor
+        slot = jax.lax.broadcasted_iota(jnp.int32, (nsample, tm), 0)
+        filled = slot < jnp.maximum(fin, 1)[None, :]
+        idx_ref[0] = jnp.where(filled, acc, acc[0:1, :])
+        cnt_ref[0] = jnp.broadcast_to(fin[None, :], (8, tm))
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "nsample",
@@ -100,28 +121,34 @@ def _ball_query_pallas(centers, centers_valid, points, points_valid,
     pts = jnp.where(points_valid[..., None], points, -BIG)
     cen_t = jnp.full((b, 3, m_pad), BIG, jnp.float32).at[:, :, :m].set(
         cen.transpose(0, 2, 1))
+    n_tiles = n_pad // tile_n
     pts_t = jnp.full((b, 3, n_pad), -BIG, jnp.float32).at[:, :, :n].set(
         pts.transpose(0, 2, 1))
 
     idx_out, cnt_out = pl.pallas_call(
         functools.partial(_bq_kernel, r2=float(radius) * float(radius),
-                          nsample=nsample, tile_n=tile_n, n_pad=n_pad),
-        grid=(b, m_pad // tile_m),
+                          nsample=nsample, tile_n=tile_n),
+        grid=(b, m_pad // tile_m, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 3, tile_m), lambda bi, i: (bi, 0, i),
+            pl.BlockSpec((1, 3, tile_m), lambda bi, i, t: (bi, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, n_pad), lambda bi, i: (bi, 0, 0),
+            pl.BlockSpec((1, 3, tile_n), lambda bi, i, t: (bi, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, nsample, tile_m), lambda bi, i: (bi, 0, i),
+            pl.BlockSpec((1, nsample, tile_m),
+                         lambda bi, i, t: (bi, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tile_m), lambda bi, i: (bi, 0, i),
+            pl.BlockSpec((1, 8, tile_m), lambda bi, i, t: (bi, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, nsample, m_pad), jnp.int32),
             jax.ShapeDtypeStruct((b, 8, m_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nsample, tile_m), jnp.int32),
+            pltpu.VMEM((8, tile_m), jnp.int32),
         ],
         interpret=_interpret(),
     )(cen_t, pts_t)

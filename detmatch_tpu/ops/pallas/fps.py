@@ -54,15 +54,19 @@ def _fps_kernel(xyz_ref, vmask_ref, idx_ref, *, num_samples, n_pad):
     zs = xyz_ref[0, 2:3, :]
     vm = vmask_ref[0, 0:1, :] > 0.0
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    k_pad = idx_ref.shape[2]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
 
     first = _first_min_index(vm, iota, n_pad)
     first = jnp.where(first >= n_pad, 0, first)
-    idx_ref[0, 0, pl.ds(0, 1)] = first[None]
 
     d2_0 = jnp.where(vm, BIG, -1.0)
+    # the result vector is CARRIED (lane-dynamic stores don't lower);
+    # one masked select per iteration, one static store at the end
+    res0 = jnp.where(kiota == 0, first, 0)
 
     def body(i, carry):
-        d2, last = carry
+        d2, last, res = carry
         sel = iota == last
         lx = jnp.sum(jnp.where(sel, xs, 0.0))
         ly = jnp.sum(jnp.where(sel, ys, 0.0))
@@ -75,10 +79,12 @@ def _fps_kernel(xyz_ref, vmask_ref, idx_ref, *, num_samples, n_pad):
         m = jnp.max(d2)
         nxt = _first_min_index(d2 == m, iota, n_pad)
         nxt = jnp.where(nxt >= n_pad, 0, nxt)
-        idx_ref[0, 0, pl.ds(i, 1)] = nxt[None]
-        return d2, nxt
+        res = jnp.where(kiota == i, nxt, res)
+        return d2, nxt, res
 
-    jax.lax.fori_loop(1, num_samples, body, (d2_0, first))
+    _, _, res = jax.lax.fori_loop(1, num_samples, body,
+                                  (d2_0, first, res0))
+    idx_ref[0] = res
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples",))

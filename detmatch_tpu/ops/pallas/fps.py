@@ -15,9 +15,9 @@ masked 3xN reduction to read the last point, one fused
 distance-min-argmax sweep), with a single lane-dynamic int32 store.
 
 Layout: coordinates are passed coordinate-major (B, 3, N) so the lane
-dimension is the long axis; the batch is an explicit grid dimension
-(vmapping a ``pallas_call`` through Mosaic compiles pathologically
-slowly — see ``onehot_rows.py``). Validity arrives as an f32 mask.
+dimension is the long axis; the WHOLE batch runs in one kernel body so
+the B greedy chains advance in lockstep (a (B, N) VPU op costs barely
+more than a (1, N) one). Validity arrives as an f32 mask.
 
 Semantics match the XLA version exactly (first-occurrence argmax,
 invalid points never selected, all-invalid rows degrade to index 0).
@@ -42,23 +42,27 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _first_min_index(mask, iota, n_pad):
-    """Smallest index where mask is True, n_pad if none (scalar int32)."""
-    return jnp.min(jnp.where(mask, iota, n_pad)).astype(jnp.int32)
-
-
 def _fps_kernel(xyz_ref, vmask_ref, idx_ref, *, num_samples, n_pad):
-    # all row vectors kept 2D (1, n_pad): Mosaic wants >=2D iota/vregs
-    xs = xyz_ref[0, 0:1, :]
-    ys = xyz_ref[0, 1:2, :]
-    zs = xyz_ref[0, 2:3, :]
-    vm = vmask_ref[0, 0:1, :] > 0.0
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    """Whole batch in ONE kernel body: the B greedy chains advance in
+    lockstep, so the sequential-dependency latency is paid once for the
+    batch instead of once per sample (a (B, N) VPU op costs barely more
+    than a (1, N) one at these shapes — measured 24.2 → 12.0 ms at
+    B=8, N=18432, K=2048)."""
+    xs = xyz_ref[:, 0, :]  # (B, n_pad)
+    ys = xyz_ref[:, 1, :]
+    zs = xyz_ref[:, 2, :]
+    vm = vmask_ref[:, 0, :] > 0.0
+    b = xs.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, n_pad), 1)
     k_pad = idx_ref.shape[2]
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
 
-    first = _first_min_index(vm, iota, n_pad)
-    first = jnp.where(first >= n_pad, 0, first)
+    def first_min_rows(mask):
+        """Per-row smallest index where mask, n_pad if none → (B, 1)."""
+        m = jnp.min(jnp.where(mask, iota, n_pad), axis=1, keepdims=True)
+        return jnp.where(m >= n_pad, 0, m).astype(jnp.int32)
+
+    first = first_min_rows(vm)  # (B, 1)
 
     d2_0 = jnp.where(vm, BIG, -1.0)
     # the result vector is CARRIED (lane-dynamic stores don't lower);
@@ -67,24 +71,23 @@ def _fps_kernel(xyz_ref, vmask_ref, idx_ref, *, num_samples, n_pad):
 
     def body(i, carry):
         d2, last, res = carry
-        sel = iota == last
-        lx = jnp.sum(jnp.where(sel, xs, 0.0))
-        ly = jnp.sum(jnp.where(sel, ys, 0.0))
-        lz = jnp.sum(jnp.where(sel, zs, 0.0))
+        sel = iota == last  # (B, n_pad), one hit per row
+        lx = jnp.sum(jnp.where(sel, xs, 0.0), axis=1, keepdims=True)
+        ly = jnp.sum(jnp.where(sel, ys, 0.0), axis=1, keepdims=True)
+        lz = jnp.sum(jnp.where(sel, zs, 0.0), axis=1, keepdims=True)
         dx = xs - lx
         dy = ys - ly
         dz = zs - lz
         nd = dx * dx + dy * dy + dz * dz
         d2 = jnp.minimum(d2, jnp.where(vm, nd, -1.0))
-        m = jnp.max(d2)
-        nxt = _first_min_index(d2 == m, iota, n_pad)
-        nxt = jnp.where(nxt >= n_pad, 0, nxt)
+        m = jnp.max(d2, axis=1, keepdims=True)
+        nxt = first_min_rows(d2 == m)
         res = jnp.where(kiota == i, nxt, res)
         return d2, nxt, res
 
     _, _, res = jax.lax.fori_loop(1, num_samples, body,
                                   (d2_0, first, res0))
-    idx_ref[0] = res
+    idx_ref[:, 0, :] = res
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples",))
@@ -99,15 +102,11 @@ def _fps_pallas(xyz, valid, num_samples):
     idx = pl.pallas_call(
         functools.partial(_fps_kernel, num_samples=num_samples,
                           n_pad=n_pad),
-        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 3, n_pad), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, k_pad), lambda bi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, k_pad), jnp.int32),
         interpret=_interpret(),
     )(xyz_t, vmask)

@@ -97,13 +97,20 @@ def build_detector(cfg: Dict[str, Any]):
     ``mmdet3d/models/builder.py``): ``dict(type='PVRCNN', ...)``."""
     cfg = dict(cfg)
     t = cfg.pop("type", "PVRCNN")
+    if isinstance(cfg.get("compute_dtype"), str):
+        import jax.numpy as jnp
+        cfg["compute_dtype"] = jnp.dtype(cfg["compute_dtype"])
     return _detector_registry()[t](**cfg)
 
 
 def build_models(cfg: Dict[str, Any]):
     pv = build_detector(dict(cfg.get("detector_3d", {})))
-    fr = FasterRCNN(**{k: v for k, v in cfg.get("detector_2d", {}).items()
-                       if k != "type"})
+    fr_cfg = {k: v for k, v in cfg.get("detector_2d", {}).items()
+              if k != "type"}
+    if isinstance(fr_cfg.get("compute_dtype"), str):
+        import jax.numpy as jnp
+        fr_cfg["compute_dtype"] = jnp.dtype(fr_cfg["compute_dtype"])
+    fr = FasterRCNN(**fr_cfg)
     return pv, fr
 
 

@@ -48,8 +48,9 @@ def production_cfg(reduced=False):
         backbone_caps=((12000, 9000, 7000, 7000) if reduced
                        else (16000, 12000, 9000, 9000)),
         train_nms=dict(nms_pre=1024, nms_post=128, nms_thresh=0.8),
-        test_nms=dict(nms_pre=1024, nms_post=100, nms_thresh=0.7))
-    fr = dict(canvas=canvas)
+        test_nms=dict(nms_pre=1024, nms_post=100, nms_thresh=0.7),
+        compute_dtype=jnp.bfloat16)
+    fr = dict(canvas=canvas, compute_dtype=jnp.bfloat16)
     spec = voxelize.VoxelizerSpec(
         point_cloud_range=PCR, voxel_size=(0.05, 0.05, 0.1),
         max_voxels=12000 if reduced else 16000, max_points=5)

@@ -11,7 +11,7 @@ sigmoid scores over C+1 channels → multiclass NMS keeping full score rows.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import numpy as np
 import jax
@@ -33,12 +33,18 @@ class FasterRCNN(nn.Module):
     test_rpn_nms_pre: int = 1000
     test_rpn_max: int = 1000
     rcnn_num_samples: int = 512
+    # bf16 compute in backbone/FPN/RPN convs and RoI-head FCs (params,
+    # FrozenBN constants, logits, losses, box math stay f32)
+    compute_dtype: Any = None
 
     def setup(self):
-        self.backbone = ResNet50(name="backbone")
-        self.neck = FPN(name="neck")
-        self.rpn_head = RPNHead(name="rpn_head")
+        self.backbone = ResNet50(name="backbone",
+                                 dtype=self.compute_dtype)
+        self.neck = FPN(name="neck", dtype=self.compute_dtype)
+        self.rpn_head = RPNHead(name="rpn_head",
+                                dtype=self.compute_dtype)
         self.bbox_head = Shared2FCBBoxHead(num_classes=self.num_classes,
+                                           dtype=self.compute_dtype,
                                            name="bbox_head")
         h, w = self.canvas
         self._anchors = [

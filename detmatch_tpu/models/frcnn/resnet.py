@@ -12,7 +12,7 @@ by torch optimizers).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,31 +35,33 @@ class FrozenBN(nn.Module):
         bias = self.variable("frozen", "bias",
                              lambda: jnp.zeros((c,), jnp.float32))
         inv = jax.lax.rsqrt(var.value + self.eps) * scale.value
-        return x * inv + (bias.value - mean.value * inv)
+        return (x.astype(jnp.float32) * inv
+                + (bias.value - mean.value * inv)).astype(x.dtype)
 
 
 class Bottleneck(nn.Module):
     planes: int  # bottleneck width; out channels = planes * 4
     stride: int = 1
     downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
         # caffe style: stride on the first 1x1 conv
         out = nn.Conv(self.planes, (1, 1), strides=self.stride,
-                      use_bias=False, name="conv1")(x)
+                      use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = nn.relu(FrozenBN(name="bn1")(out))
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                      name="conv2")(out)
+                      dtype=self.dtype, name="conv2")(out)
         out = nn.relu(FrozenBN(name="bn2")(out))
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
-                      name="conv3")(out)
+                      dtype=self.dtype, name="conv3")(out)
         out = FrozenBN(name="bn3")(out)
         if self.downsample:
             identity = nn.Conv(self.planes * 4, (1, 1),
                                strides=self.stride, use_bias=False,
-                               name="ds_conv")(x)
+                               dtype=self.dtype, name="ds_conv")(x)
             identity = FrozenBN(name="ds_bn")(identity)
         return nn.relu(out + identity)
 
@@ -68,11 +70,12 @@ class ResNet50(nn.Module):
     """Returns (C2, C3, C4, C5) feature maps, NHWC."""
     stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)
     frozen_stages: int = 1
+    dtype: Any = None  # bf16 MXU convs (params/FrozenBN constants f32)
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.relu(FrozenBN(name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         if self.frozen_stages >= 0:
@@ -86,7 +89,7 @@ class ResNet50(nn.Module):
                 x = Bottleneck(
                     planes=planes,
                     stride=stride if b == 0 else 1,
-                    downsample=(b == 0),
+                    downsample=(b == 0), dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}")(x)
             if self.frozen_stages >= stage + 1:
                 x = jax.lax.stop_gradient(x)
@@ -99,11 +102,13 @@ class FPN(nn.Module):
     5th level = stride-2 maxpool of P5 (mmdet FPN extra level)."""
     out_channels: int = 256
     num_outs: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs):
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"lateral{i}")(c)
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral{i}")(c)
             for i, c in enumerate(inputs)
         ]
         for i in range(len(laterals) - 1, 0, -1):
@@ -114,7 +119,7 @@ class FPN(nn.Module):
             laterals[i - 1] = laterals[i - 1] + up
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=1,
-                    name=f"fpn_conv{i}")(l)
+                    dtype=self.dtype, name=f"fpn_conv{i}")(l)
             for i, l in enumerate(laterals)
         ]
         while len(outs) < self.num_outs:

@@ -11,7 +11,7 @@ RandomSampler 512 @ pos 0.25 with gt-as-proposals (``split_0.py:463-476``).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import numpy as np
 import jax
@@ -29,13 +29,17 @@ BBOX_STDS = (0.1, 0.1, 0.2, 0.2)
 class Shared2FCBBoxHead(nn.Module):
     num_classes: int = 3
     fc_dim: int = 1024
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, roi_feats):
         """roi_feats: (R, 7, 7, C) → (cls (R, C+1), reg (R, C*4))."""
         x = roi_feats.reshape(roi_feats.shape[0], -1)
-        x = nn.relu(nn.Dense(self.fc_dim, name="shared_fc0")(x))
-        x = nn.relu(nn.Dense(self.fc_dim, name="shared_fc1")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
+                             name="shared_fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype,
+                             name="shared_fc1")(x))
+        x = x.astype(jnp.float32)
         cls = nn.Dense(self.num_classes + 1, name="fc_cls",
                        bias_init=nn.initializers.constant(
                            -float(np.log((1 - 0.01) / 0.01))))(x)

@@ -13,7 +13,7 @@ fixed buffer with NEG_INF score padding.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -106,13 +106,14 @@ def random_sample(rng_key, assigned, num, pos_fraction):
 class RPNHead(nn.Module):
     feat_channels: int = 256
     num_base_anchors: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feats):
         """feats: tuple of (B, H, W, C) → per-level (cls (B,H,W,A),
         reg (B,H,W,A*4))."""
         conv = nn.Conv(self.feat_channels, (3, 3), padding=1,
-                       name="rpn_conv")
+                       dtype=self.dtype, name="rpn_conv")
         cls_conv = nn.Conv(
             self.num_base_anchors, (1, 1),
             bias_init=nn.initializers.constant(
@@ -123,7 +124,9 @@ class RPNHead(nn.Module):
         outs = []
         for f in feats:
             x = nn.relu(conv(f))
-            outs.append((cls_conv(x), reg_conv(x)))
+            # head logits in f32 (losses / box decode)
+            outs.append((cls_conv(x.astype(jnp.float32)),
+                         reg_conv(x.astype(jnp.float32))))
         return outs
 
 

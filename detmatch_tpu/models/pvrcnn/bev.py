@@ -4,7 +4,7 @@
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,30 +45,31 @@ class BaseBEVBackbone(nn.Module):
     upsample_strides: Tuple[int, ...] = (1, 2)
     num_upsample_filters: Tuple[int, ...] = (256, 256)
     use_running_average: bool = False
+    dtype: Any = None  # bf16 MXU convs (params/BN stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ups = []
         for i, n_layers in enumerate(self.layer_nums):
-            x = ConvBNReLU(self.num_filters[i], kernel=3,
+            x = ConvBNReLU(self.num_filters[i], dtype=self.dtype, kernel=3,
                            stride=self.layer_strides[i], padding=1,
                            name=f"block{i}_0",
                            use_running_average=self.use_running_average,
                            )(x, use_running_average=not train)
             for j in range(n_layers):
-                x = ConvBNReLU(self.num_filters[i], kernel=3, stride=1,
+                x = ConvBNReLU(self.num_filters[i], dtype=self.dtype, kernel=3, stride=1,
                                padding=1, name=f"block{i}_{j + 1}",
                                use_running_average=self.use_running_average,
                                )(x, use_running_average=not train)
             s = self.upsample_strides[i]
             if s > 1:
-                up = ConvBNReLU(self.num_upsample_filters[i], kernel=s,
+                up = ConvBNReLU(self.num_upsample_filters[i], dtype=self.dtype, kernel=s,
                                 stride=s, transpose=True,
                                 name=f"deblock{i}",
                                 use_running_average=self.use_running_average,
                                 )(x, use_running_average=not train)
             else:
-                up = ConvBNReLU(self.num_upsample_filters[i], kernel=1,
+                up = ConvBNReLU(self.num_upsample_filters[i], dtype=self.dtype, kernel=1,
                                 stride=1, padding=0, name=f"deblock{i}",
                                 use_running_average=self.use_running_average,
                                 )(x, use_running_average=not train)

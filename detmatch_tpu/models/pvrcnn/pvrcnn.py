@@ -58,6 +58,9 @@ class PVRCNN(nn.Module):
     backbone_caps: Tuple[int, int, int, int] = (24000, 16000, 10000, 10000)
     train_nms: Dict = None
     test_nms: Dict = None
+    # bf16 compute in the dense conv / grouped-MLP / FC paths (params,
+    # BN statistics, losses, box math stay f32). None = full f32.
+    compute_dtype: Any = None
     # PVRCNNHead overrides (grid_size, pool_nsamples, target_cfg, ...).
     # Production uses the reference defaults; tiny/dryrun configs shrink
     # the RoI head here — its grouped-gather backward (scatter-add of
@@ -69,7 +72,8 @@ class PVRCNN(nn.Module):
         self.backbone3d = VoxelBackbone8x(
             spatial_shape=(Z, self.grid_size[1], self.grid_size[0]),
             caps=self.backbone_caps, name="backbone3d")
-        self.bev_backbone = BaseBEVBackbone(name="backbone2d")
+        self.bev_backbone = BaseBEVBackbone(name="backbone2d",
+                                            dtype=self.compute_dtype)
         self.anchor_head = AnchorHeadSingle(
             num_classes=self.num_classes,
             point_cloud_range=self.point_cloud_range,
@@ -78,10 +82,12 @@ class PVRCNN(nn.Module):
         self.vsa = VoxelSetAbstraction(
             num_keypoints=self.num_keypoints,
             voxel_size=self.voxel_size,
+            dtype=self.compute_dtype,
             point_cloud_range=self.point_cloud_range, name="pfe")
         self.point_head = PointHeadSimple(name="point_head")
         self.roi_head = PVRCNNHead(num_classes=self.num_classes,
                                    name="roi_head",
+                                   dtype=self.compute_dtype,
                                    **(self.roi_head_cfg or {}))
 
     def __call__(self, batch, train: bool = False):

@@ -17,7 +17,7 @@ TPU design notes:
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 import jax
@@ -298,6 +298,7 @@ class PVRCNNHead(nn.Module):
     pool_mlps: Tuple[Tuple[int, ...], ...] = ((64, 64), (64, 64))
     target_cfg: Dict = None
     use_running_average: bool = False
+    dtype: Any = None  # bf16 halves the grouped/pooled HBM traffic
 
     @staticmethod
     def default_target_cfg():
@@ -334,10 +335,12 @@ class PVRCNNHead(nn.Module):
                 slot_valid = (jnp.arange(ns)[None, None, :]
                               < cnt[..., None])
                 out = SAGroupMLP(tuple(mlp), name=f"pool_mlp{gi}",
+                                 dtype=mdl.dtype,
                                  use_running_average=mdl.use_running_average)(
                     grid_, kp_, pf_, idx, slot_valid, cnt,
                     use_running_average=not train)
-                out = jnp.where(slot_valid[..., None], out, -1e10)
+                out = jnp.where(slot_valid[..., None], out,
+                                jnp.asarray(-1e10, out.dtype))
                 pooled = jnp.max(out, axis=2)
                 return jnp.where((cnt > 0)[..., None], pooled, 0.0)
 
@@ -353,7 +356,8 @@ class PVRCNNHead(nn.Module):
 
         x = pooled
         for i, f in enumerate(self.shared_fc):
-            x = nn.Dense(f, use_bias=False, name=f"shared_fc{i}")(x)
+            x = nn.Dense(f, use_bias=False, name=f"shared_fc{i}",
+                         dtype=self.dtype)(x)
             x = MaskedBatchNorm(
                 name=f"shared_bn{i}",
                 use_running_average=self.use_running_average)(
@@ -365,7 +369,8 @@ class PVRCNNHead(nn.Module):
 
         def head(x, feats, final, name):
             for i, f in enumerate(feats):
-                x = nn.Dense(f, use_bias=False, name=f"{name}_fc{i}")(x)
+                x = nn.Dense(f, use_bias=False, name=f"{name}_fc{i}",
+                             dtype=self.dtype)(x)
                 x = MaskedBatchNorm(
                     name=f"{name}_bn{i}",
                     use_running_average=self.use_running_average)(
@@ -381,7 +386,8 @@ class PVRCNNHead(nn.Module):
 
         rcnn_cls = head(shared, self.cls_fc, 1, "cls")
         rcnn_reg = head(shared, self.reg_fc, 7, "reg")
-        return rcnn_cls, rcnn_reg
+        return (rcnn_cls.astype(jnp.float32),
+                rcnn_reg.astype(jnp.float32))
 
     # ---------------- pure helpers (no params) ----------------
 

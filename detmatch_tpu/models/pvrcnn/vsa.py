@@ -17,7 +17,7 @@ over stacked points.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -136,6 +136,7 @@ class SAGroupMLP(nn.Module):
     """
     features: Tuple[int, ...]
     use_running_average: bool = False
+    dtype: Any = None  # bf16: grouped tensors halve their HBM traffic
 
     @nn.compact
     def __call__(self, keypoints, xyz, feats, idx, slot_valid, cnt,
@@ -153,11 +154,17 @@ class SAGroupMLP(nn.Module):
             cen_in = keypoints
         pre = d0(table)                      # (B, N, C0)
         cen = d0(cen_in)                     # (B, M, C0)
+        if self.dtype is not None:
+            # cast BEFORE the gather: the (B, M, ns, C0) grouped tensor
+            # (the model's biggest activation) moves at half width
+            pre = pre.astype(self.dtype)
+            cen = cen.astype(self.dtype)
         z = pointnet.gather_rows(pre, idx) - cen[:, :, None, :]
         x = jnp.where(slot_valid[..., None], z, 0.0)
         for i, f in enumerate(self.features):
             if i > 0:
-                x = nn.Dense(f, use_bias=False, name=f"dense{i}")(x)
+                x = nn.Dense(f, use_bias=False, name=f"dense{i}",
+                             dtype=self.dtype)(x)
             x = MaskedBatchNorm(
                 name=f"bn{i}",
                 use_running_average=self.use_running_average,
@@ -176,6 +183,7 @@ class SABranch(nn.Module):
     nsamples: Tuple[int, ...]
     mlps: Tuple[Tuple[int, ...], ...]
     use_running_average: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, keypoints, kp_valid, xyz, xyz_valid, feats,
@@ -187,13 +195,15 @@ class SABranch(nn.Module):
                 keypoints, kp_valid, xyz, xyz_valid, r, ns)
             slot_valid = (jnp.arange(ns)[None, None, :] < cnt[..., None])
             out = SAGroupMLP(tuple(mlp), name=f"mlp{gi}",
+                             dtype=self.dtype,
                              use_running_average=self.use_running_average)(
                 keypoints, xyz, feats, idx, slot_valid, cnt,
                 use_running_average=not train)
-            out = jnp.where(slot_valid[..., None], out, -pointnet.BIG_DIST)
+            out = jnp.where(slot_valid[..., None], out,
+                            jnp.asarray(-pointnet.BIG_DIST, out.dtype))
             pooled = jnp.max(out, axis=2)  # (B, M, C')
             pooled = jnp.where((cnt > 0)[..., None], pooled, 0.0)
-            outs.append(pooled)
+            outs.append(pooled.astype(jnp.float32))
         return jnp.concatenate(outs, axis=-1)
 
 
@@ -204,6 +214,7 @@ class VoxelSetAbstraction(nn.Module):
     point_cloud_range: Tuple[float, ...] = (0, -40, -3, 70.4, 40, 1)
     sa_cfg: Dict = None
     use_running_average: bool = False
+    dtype: Any = None
 
     def _default_sa_cfg(self):
         """DetMatch config values (``split_0.py:177-210``)."""
@@ -258,7 +269,7 @@ class VoxelSetAbstraction(nn.Module):
         feats_list.append(bev_pt)
 
         feats_list.append(SAB(
-            name="sa_raw_points",
+            name="sa_raw_points", dtype=self.dtype,
             use_running_average=self.use_running_average,
             **sa_cfg["raw_points"])(
             keypoints, kp_valid, points[..., :3], points_valid,
@@ -269,7 +280,7 @@ class VoxelSetAbstraction(nn.Module):
             centers = voxel_centers(lv["keys"], lv["shape"], lv["stride"],
                                     self.voxel_size, pcr)
             feats_list.append(SAB(
-                name=f"sa_{name}",
+                name=f"sa_{name}", dtype=self.dtype,
                 use_running_average=self.use_running_average,
                 **sa_cfg[name])(
                 keypoints, kp_valid, centers, lv["mask"], lv["feats"],

@@ -50,7 +50,10 @@ def _fenced_take_bwd(res, g):
     flat_idx, shape = res
     i = jax.lax.optimization_barrier(flat_idx)
     gg = jax.lax.optimization_barrier(g)
-    dx = jnp.zeros(shape, g.dtype).at[i].add(gg)
+    # accumulate in f32: each table row collects up to thousands of
+    # contributions (RoI-grid pool), which bf16 += would round away
+    dx = jnp.zeros(shape, jnp.float32).at[i].add(
+        gg.astype(jnp.float32)).astype(g.dtype)
     return jax.lax.optimization_barrier(dx), None
 
 

@@ -49,8 +49,9 @@ PV_CFG = dict(
     backbone_caps=((12000, 9000, 7000, 7000) if _REDUCED
                    else (16000, 12000, 9000, 9000)),
     train_nms=dict(nms_pre=1024, nms_post=128, nms_thresh=0.8),
-    test_nms=dict(nms_pre=1024, nms_post=100, nms_thresh=0.7))
-FR_CFG = dict(canvas=CANVAS)
+    test_nms=dict(nms_pre=1024, nms_post=100, nms_thresh=0.7),
+    compute_dtype=jnp.bfloat16)
+FR_CFG = dict(canvas=CANVAS, compute_dtype=jnp.bfloat16)
 SPEC = voxelize.VoxelizerSpec(point_cloud_range=PCR,
                               voxel_size=(0.05, 0.05, 0.1),
                               max_voxels=_MAXV, max_points=5)

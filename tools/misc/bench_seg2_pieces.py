@@ -38,7 +38,8 @@ PV_CFG = dict(
     grid_size=(1408, 1600, 40), num_keypoints=2048,
     backbone_caps=(16000, 12000, 9000, 9000),
     train_nms=dict(nms_pre=1024, nms_post=128, nms_thresh=0.8),
-    test_nms=dict(nms_pre=1024, nms_post=100, nms_thresh=0.7))
+    test_nms=dict(nms_pre=1024, nms_post=100, nms_thresh=0.7),
+    compute_dtype=jnp.bfloat16)
 SPEC = voxelize.VoxelizerSpec(point_cloud_range=PCR,
                               voxel_size=(0.05, 0.05, 0.1),
                               max_voxels=16000, max_points=5)
@@ -211,4 +212,66 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("LOSSES"):
+        main_losses()
+    else:
+        main()
+
+
+def main_losses():
+    """The loss-side pieces main() doesn't cover: anchor targets +
+    losses, point head, box decode (run with LOSSES=1)."""
+    rng = np.random.RandomState(0)
+    from detmatch_tpu.utils.synth_kitti import lidar_batch
+    pts, pvalid = lidar_batch(rng, B, P, PCR)
+    pts = jnp.asarray(pts)
+    pvalid = jnp.asarray(pvalid)
+    vox = jax.vmap(lambda p, v: voxelize.voxelize_mean(p, v, SPEC))(
+        pts, pvalid)
+    gt = np.zeros((B, 40, 8), np.float32)
+    gt[:, :20, 0] = rng.rand(B, 20) * 60 + 3
+    gt[:, :20, 1] = rng.rand(B, 20) * 70 - 35
+    gt[:, :20, 2] = -1.0
+    gt[:, :20, 3:6] = [3.9, 1.6, 1.56]
+    gt[:, :20, 6] = rng.rand(B, 20) - 0.5
+    gt[:, :20, 7] = rng.randint(1, 4, (B, 20))
+    gt = jnp.asarray(gt)
+    model = PVRCNN(**PV_CFG)
+    batch = dict(points=pts, points_valid=pvalid, gt_boxes=gt,
+                 voxel_features=vox["features"], voxel_keys=vox["keys"])
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda k, b: model.init(
+        {"params": k, "sampling": k, "dropout": k}, b, train=True))(
+        key, batch)
+    jax.block_until_ready(variables)
+    print("[init done]", flush=True)
+
+    # full fwd once for realistic head_preds
+    out, _ = jax.jit(lambda v, b: model.apply(
+        v, b, train=True, rngs={"sampling": key, "dropout": key},
+        mutable=["batch_stats"]))(variables, batch)
+    jax.block_until_ready(out)
+    hp = out["head_preds"]
+
+    def ap(fn):
+        return lambda *a: model.apply(variables, *a, method=fn)
+
+    chained("anchor targets", lambda g: model.apply(
+        variables, g, method=lambda m, g: m.anchor_head.targets(g)), gt)
+    tg = jax.jit(lambda g: model.apply(
+        variables, g, method=lambda m, g: m.anchor_head.targets(g)))(gt)
+    chained("anchor loss", lambda hp_: model.apply(
+        variables, hp_, tg, method=lambda m, h, t: m.anchor_head.loss(
+            h, t)), hp)
+    chained("anchor loss fwd+bwd", lambda hp_: model.apply(
+        variables, hp_, tg, method=lambda m, h, t: m.anchor_head.loss(
+            h, t)), hp, grad=True)
+    chained("decode boxes", lambda hp_: model.apply(
+        variables, hp_, method=lambda m, h: m.anchor_head.decode_boxes(
+            h)), hp)
+    from detmatch_tpu.models.pvrcnn.point_head import PointHeadSimple
+    kp = out["keypoints"]
+    chained("pt-head targets+loss", lambda kp_: model.apply(
+        variables, kp_, method=lambda m, k_: PointHeadSimple.loss(
+            out["point_logits"],
+            m.point_head.targets(k_, out["kp_valid"], gt))), kp)

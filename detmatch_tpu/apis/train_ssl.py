@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.loader import Loader
+from ..parallel import is_primary, put_global_batch, put_replicated
 from ..train import checkpoints
 from ..train.optim import detmatch_branch_optimizers
 from ..train.ssl_step import make_ssl_train_fns_split
@@ -100,9 +101,14 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
     if lr_2d is None:
         lr_2d = 2e-2 / 2 * batch_size * (1 + num_unlabeled)
 
-    lab_loader = Loader(lab_dataset, batch_size, collate_fn, seed=seed)
+    # per-process loaders: under multi-host each process draws its own
+    # samples (disjoint by seed) and feeds its local shard of the global
+    # batch; batch_size is per-process, like the reference's per-GPU
+    # samples_per_gpu under DDP
+    proc_seed = seed + jax.process_index() * 9973
+    lab_loader = Loader(lab_dataset, batch_size, collate_fn, seed=proc_seed)
     unlab_loader = Loader(unlab_dataset, batch_size * num_unlabeled,
-                          collate_fn, seed=seed + 1)
+                          collate_fn, seed=proc_seed + 1)
     lab_iter, unlab_iter = iter(lab_loader), iter(unlab_loader)
 
     # init from a first batch — on CPU: full-size init on the accelerator
@@ -166,8 +172,8 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
                         donate_argnums=(0, 1))
     ema_jit = jax.jit(ema_fn, in_shardings=(repl, repl, None),
                       out_shardings=repl, donate_argnums=(0,))
-    state = jax.device_put(state, repl)
-    opt_state = jax.device_put(opt_state, repl)
+    state = put_replicated(state, repl)
+    opt_state = put_replicated(opt_state, repl)
 
     t0 = time.perf_counter()
     with mesh:
@@ -175,7 +181,7 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
             if profile_dir and it == start_iter + 12:
                 jax.profiler.start_trace(profile_dir)
             batch = dict(lab=next(lab_iter), unlab=next(unlab_iter))
-            batch = jax.device_put(jax.tree.map(jnp.asarray, batch), shard)
+            batch = put_global_batch(batch, shard)
             rng = jax.random.fold_in(key, it)
             r3, r2 = jax.random.split(rng)
             pseudo, vbatch = teacher_jit(state["teacher"], batch)
@@ -194,14 +200,18 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
             logs["loss"] = logs3["loss"] + logs2["loss"]
             # capacity-cap accounting: occupied voxels cut by max_voxels
             # across all four views this iter (0 in healthy configs; a
-            # sustained non-zero rate means the cap is eating geometry)
-            logs["metrics.dropped_voxels"] = sum(
-                jnp.sum(view["voxel_dropped"])
-                for views in vbatch.values() for view in views.values())
+            # sustained non-zero rate means the cap is eating geometry).
+            # jitted with a replicated output so the count of a globally
+            # sharded batch is readable on every host process
+            logs["metrics.dropped_voxels"] = jax.jit(
+                lambda vb: sum(jnp.sum(v["voxel_dropped"])
+                               for views in vb.values()
+                               for v in views.values()),
+                out_shardings=repl)(vbatch)
             if profile_dir and it == start_iter + 15:
                 jax.block_until_ready(logs)
                 jax.profiler.stop_trace()
-            if (it + 1) % log_interval == 0:
+            if (it + 1) % log_interval == 0 and is_primary():
                 logs = jax.device_get(logs)
                 dt = time.perf_counter() - t0
                 entry = {k: float(v) for k, v in logs.items()}
@@ -209,14 +219,19 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
                              time=dt / log_interval, mode="train")
                 logger.log(entry)
                 t0 = time.perf_counter()
-            if vis_interval and (it + 1) % vis_interval == 0:
+            if vis_interval and (it + 1) % vis_interval == 0 \
+                    and is_primary() and jax.process_count() == 1:
+                # vis slices device arrays host-side; under multi-host
+                # the first samples live on process 0's devices only when
+                # it produced them — skip rather than gather over DCN
                 _dump_vis(work_dir, it + 1, vbatch, pseudo)
-            if (it + 1) % ckpt_interval == 0 or (it + 1) == max_iters:
+            if ((it + 1) % ckpt_interval == 0 or (it + 1) == max_iters) \
+                    and is_primary():
                 checkpoints.save(
                     os.path.join(work_dir, "ckpt"),
                     dict(state=jax.device_get(state),
                          opt_state=jax.device_get(opt_state)), it + 1)
-            if (eval_interval and val_dataset is not None
+            if (eval_interval and val_dataset is not None and is_primary()
                     and ((it + 1) % eval_interval == 0
                          or (it + 1) == max_iters)):
                 from .evaluate import eval_ssl

@@ -43,7 +43,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--cfg-options", nargs="*", default=None)
+    ap.add_argument("--dist-coordinator", default=None,
+                    help="host:port of process 0 (multi-host; or set "
+                         "DETMATCH_COORDINATOR / run tools/dist_train.py)")
+    ap.add_argument("--dist-num-processes", type=int, default=None)
+    ap.add_argument("--dist-process-id", type=int, default=None)
     args = ap.parse_args()
+
+    from detmatch_tpu.parallel import init_distributed
+    init_distributed(args.dist_coordinator, args.dist_num_processes,
+                     args.dist_process_id)
 
     from detmatch_tpu.config import Config
     cfg = Config.fromfile(args.config)

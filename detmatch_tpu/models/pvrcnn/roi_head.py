@@ -28,7 +28,7 @@ from ...core import geometry, iou as iou_mod, losses, nms as nms_mod
 from ...core.coders import ResidualCoder
 from ..layers import MLP, MaskedBatchNorm
 from .vsa import SAGroupMLP
-from ...ops.pallas.ball_query import ball_query_batched
+from ...ops.pallas.ball_query import ball_query_batched, sort_points_by_y
 
 
 def proposal_layer(batch_box_preds, batch_cls_preds, nms_pre, nms_post,
@@ -321,31 +321,39 @@ class PVRCNNHead(nn.Module):
         pf = point_features * point_cls_scores[..., None]
         grid = roi_grid_points(rois, self.grid_size)  # (B, N*G^3, 3)
         grid_valid = jnp.ones(grid.shape[:2], bool)
+        # one y-sort of the keypoint table, shared by both pool groups
+        kp_s, kv_s, kperm = sort_points_by_y(
+            jax.lax.stop_gradient(keypoints), kp_valid)
 
         outs = []
         for gi, (r, ns, mlp) in enumerate(zip(
                 self.pool_radii, self.pool_nsamples, self.pool_mlps)):
+            # ball query OUTSIDE the remat: integer-only (no grads), so
+            # recomputing its distance scan in the backward would be
+            # pure waste; the (B, R*G^3, ns) int32 indices are tiny
+            # residuals next to the grouped activations remat drops
+            idx, cnt = ball_query_batched(grid, grid_valid, kp_s, kv_s,
+                                          r, ns, point_perm=kperm)
+
             # remat the group+MLP+pool region: its grouped
             # (B, R*G^3, ns, C) tensor is the model's biggest activation
             # (~2 GB at train batch 8) — recompute it in the backward
-            def pool_group(mdl, grid_, gv_, kp_, kpv_, pf_, gi=gi, r=r,
+            def pool_group(mdl, grid_, kp_, pf_, idx_, cnt_, gi=gi,
                            ns=ns, mlp=mlp):
-                idx, cnt = ball_query_batched(grid_, gv_, kp_, kpv_,
-                                              r, ns)
                 slot_valid = (jnp.arange(ns)[None, None, :]
-                              < cnt[..., None])
+                              < cnt_[..., None])
                 out = SAGroupMLP(tuple(mlp), name=f"pool_mlp{gi}",
                                  dtype=mdl.dtype,
                                  use_running_average=mdl.use_running_average)(
-                    grid_, kp_, pf_, idx, slot_valid, cnt,
+                    grid_, kp_, pf_, idx_, slot_valid, cnt_,
                     use_running_average=not train)
                 out = jnp.where(slot_valid[..., None], out,
                                 jnp.asarray(-1e10, out.dtype))
                 pooled = jnp.max(out, axis=2)
-                return jnp.where((cnt > 0)[..., None], pooled, 0.0)
+                return jnp.where((cnt_ > 0)[..., None], pooled, 0.0)
 
             outs.append(nn.remat(pool_group)(
-                self, grid, grid_valid, keypoints, kp_valid, pf))
+                self, grid, keypoints, pf, idx, cnt))
         pooled = jnp.concatenate(outs, axis=-1)  # (B, N*G^3, C)
 
         # (B, N, G^3 * C) — reference reshapes (BN, C, G, G, G) then

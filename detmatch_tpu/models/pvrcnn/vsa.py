@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops import pointnet
-from ...ops.pallas.ball_query import ball_query_batched
+from ...ops.pallas.ball_query import ball_query_batched, sort_points_by_y
 from ...ops.pallas.fps import fps_batched
 from ...ops.voxelize import INVALID_KEY, delinearize
 from ..layers import MLP, MaskedBatchNorm
@@ -174,7 +174,14 @@ class SAGroupMLP(nn.Module):
 
 
 class SABranch(nn.Module):
-    """One SA source: radius groups, each query+group+MLP+masked-maxpool.
+    """One SA source: radius groups, each group+MLP+masked-maxpool.
+
+    Ball-query results (``idx_cnt``, one (idx, cnt) pair per radius
+    group) are computed by the CALLER, outside the remat region: the
+    query is integer-only (no gradients flow through it), so keeping it
+    inside would re-run every distance scan in the backward pass for
+    nothing — the (B, M, ns) int32 indices are tiny residuals compared
+    to the grouped activations the remat exists to drop.
 
     Operates on batched tensors (BN over the whole batch, like the
     reference's BatchNorm1d over stacked points,
@@ -187,12 +194,15 @@ class SABranch(nn.Module):
 
     @nn.compact
     def __call__(self, keypoints, kp_valid, xyz, xyz_valid, feats,
-                 train: bool = False):
+                 idx_cnt=None, train: bool = False):
+        if idx_cnt is None:  # non-remat callers: query inline
+            idx_cnt = tuple(
+                ball_query_batched(keypoints, kp_valid, xyz, xyz_valid,
+                                   r, ns)
+                for r, ns in zip(self.radii, self.nsamples))
         outs = []
-        for gi, (r, ns, mlp) in enumerate(
-                zip(self.radii, self.nsamples, self.mlps)):
-            idx, cnt = ball_query_batched(
-                keypoints, kp_valid, xyz, xyz_valid, r, ns)
+        for gi, ((idx, cnt), ns, mlp) in enumerate(
+                zip(idx_cnt, self.nsamples, self.mlps)):
             slot_valid = (jnp.arange(ns)[None, None, :] < cnt[..., None])
             out = SAGroupMLP(tuple(mlp), name=f"mlp{gi}",
                              dtype=self.dtype,
@@ -249,8 +259,18 @@ class VoxelSetAbstraction(nn.Module):
         sa_cfg = self.sa_cfg or self._default_sa_cfg()
         # remat the SA branches: their grouped (B, M, ns, C) tensors are
         # the largest activations in the model; recomputing them in the
-        # backward pass keeps the SSL step inside HBM at batch 8
-        SAB = nn.remat(SABranch, static_argnums=(6,))
+        # backward pass keeps the SSL step inside HBM at batch 8. The
+        # ball queries run OUTSIDE the remat (integer-only — see
+        # SABranch) so the distance scans are never recomputed.
+        SAB = nn.remat(SABranch, static_argnums=(7,))
+
+        def queries(cfg, keypoints, kp_valid, xyz, xyz_valid):
+            # one y-sort per source table, shared by its radius groups
+            xyz_s, xv_s, perm = sort_points_by_y(xyz, xyz_valid)
+            return tuple(
+                ball_query_batched(keypoints, kp_valid, xyz_s, xv_s,
+                                   r, ns, point_perm=perm)
+                for r, ns in zip(cfg["radii"], cfg["nsamples"]))
 
         kp_idx = fps_batched(points[..., :3], points_valid,
                              self.num_keypoints)
@@ -268,23 +288,27 @@ class VoxelSetAbstraction(nn.Module):
         bev_pt = bilinear_interpolate_batched(bev_features, x_idx, y_idx)
         feats_list.append(bev_pt)
 
+        qc = queries(sa_cfg["raw_points"], keypoints, kp_valid,
+                     points[..., :3], points_valid)
         feats_list.append(SAB(
             name="sa_raw_points", dtype=self.dtype,
             use_running_average=self.use_running_average,
             **sa_cfg["raw_points"])(
             keypoints, kp_valid, points[..., :3], points_valid,
-            points[..., 3:], train))
+            points[..., 3:], qc, train))
 
         for name in ("x_conv1", "x_conv2", "x_conv3", "x_conv4"):
             lv = ms_features[name]
             centers = voxel_centers(lv["keys"], lv["shape"], lv["stride"],
                                     self.voxel_size, pcr)
+            qc = queries(sa_cfg[name], keypoints, kp_valid, centers,
+                         lv["mask"])
             feats_list.append(SAB(
                 name=f"sa_{name}", dtype=self.dtype,
                 use_running_average=self.use_running_average,
                 **sa_cfg[name])(
                 keypoints, kp_valid, centers, lv["mask"], lv["feats"],
-                train))
+                qc, train))
 
         before_fusion = jnp.concatenate(feats_list, axis=-1)
         fused = nn.Dense(self.num_out_features, use_bias=False,

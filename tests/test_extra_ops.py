@@ -120,11 +120,13 @@ def test_onehot_batched_gather_fwd_bwd():
 
 
 def test_ball_query_batched_matches_xla():
-    """Pallas batched ball query == vmapped XLA ball query (idx + cnt),
-    including validity masks, padding to tile boundaries, and the
-    first-neighbor broadcast into unused slots."""
+    """Windowed Pallas batched ball query == the XLA impl of the same
+    contract (idx + cnt), including validity masks, padding to tile
+    boundaries, and the first-neighbor broadcast into unused slots.
+    Both scan the points in y-sorted order, so idx must match EXACTLY.
+    Additionally: every returned neighbor must be a genuinely in-radius
+    valid point, and cnt must equal the brute-force in-radius count."""
     from detmatch_tpu.ops.pallas.ball_query import ball_query_batched
-    from detmatch_tpu.ops import pointnet
     rng = np.random.RandomState(7)
     b, m, n, ns, radius = 2, 100, 300, 8, 0.9
     centers = jnp.asarray(rng.uniform(-2, 2, (b, m, 3)).astype(np.float32))
@@ -133,15 +135,32 @@ def test_ball_query_batched_matches_xla():
     pv = jnp.asarray(rng.rand(b, n) > 0.2)
     idx, cnt = ball_query_batched(centers, cv, points, pv, radius, ns,
                                   impl="pallas")
-    idx_r, cnt_r = jax.vmap(
-        pointnet.ball_query, (0, 0, 0, 0, None, None)
-    )(centers, cv, points, pv, radius, ns)
+    idx_r, cnt_r = ball_query_batched(centers, cv, points, pv, radius,
+                                      ns, impl="xla")
     np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_r))
     # compare idx only where the ball is non-empty (empty → garbage by
     # contract in both implementations)
     nonempty = np.asarray(cnt) > 0
     np.testing.assert_array_equal(
         np.asarray(idx)[nonempty], np.asarray(idx_r)[nonempty])
+
+    # brute-force ground truth: counts and membership
+    d2 = np.sum((np.asarray(centers)[:, :, None, :]
+                 - np.asarray(points)[:, None, :, :]) ** 2, axis=-1)
+    ok = ((d2 <= radius * radius) & np.asarray(pv)[:, None, :]
+          & np.asarray(cv)[:, :, None])
+    want_cnt = np.minimum(ok.sum(-1), ns)
+    np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
+    idx_np, cnt_np = np.asarray(idx), np.asarray(cnt)
+    for bi in range(b):
+        for mi in range(m):
+            k = int(cnt_np[bi, mi])
+            for s in range(k):
+                assert ok[bi, mi, idx_np[bi, mi, s]], (bi, mi, s)
+            # padding slots repeat the first neighbor
+            if k:
+                np.testing.assert_array_equal(
+                    idx_np[bi, mi, k:], idx_np[bi, mi, 0])
 
 
 def test_fps_batched_matches_xla():

@@ -250,16 +250,21 @@ def precompute_overlaps(gt_annos, det_annos, metric, chunk=512):
 
 
 def eval_class(gt_annos, det_annos, cls, difficulty, metric,
-               overlaps=None):
+               overlaps=None, min_overlap=None):
     """AP_R40 for one (class, difficulty, metric). Annos are per-image:
 
     gt: dict(name, bbox (N,4), occluded, truncated, boxes3d (N,7) internal)
     det: dict(labels (M,), scores, bbox (M,4), boxes3d (M,7))
     overlaps: optional precomputed per-image matrices
         (:func:`precompute_overlaps`) — reuse across class/difficulty.
+    min_overlap: TP IoU threshold; defaults to the official KITTI
+        per-class value (``MIN_OVERLAP``). Explicit values drive the
+        coco-style IoU sweep (:func:`kitti_eval_coco_style`).
     """
     from .. import native
     lib = native.get_lib()
+    if min_overlap is None:
+        min_overlap = MIN_OVERLAP[cls]
 
     n_img = len(gt_annos)
     per_img = []
@@ -276,10 +281,10 @@ def eval_class(gt_annos, det_annos, cls, difficulty, metric,
         total_gt += int((gt_ign == 0).sum())
         if lib is not None:
             all_tp_scores.extend(native.gather_tp_scores(
-                ov, det["scores"], gt_ign, det_ign, MIN_OVERLAP[cls]))
+                ov, det["scores"], gt_ign, det_ign, min_overlap))
         else:
             _, _, _, tps = _statistics(ov, None, det["scores"], gt_ign,
-                                       det_ign, MIN_OVERLAP[cls], 0.0,
+                                       det_ign, min_overlap, 0.0,
                                        False)
             all_tp_scores.extend(tps)
     if total_gt == 0:
@@ -295,13 +300,13 @@ def eval_class(gt_annos, det_annos, cls, difficulty, metric,
         if lib is not None:
             native.sweep_thresholds(
                 ov, dc_iof if metric == "bbox" else None, scores, gt_ign,
-                det_ign, MIN_OVERLAP[cls],
+                det_ign, min_overlap,
                 np.asarray(thresholds, np.float32), tps, fps, fns)
             continue
         for t, thr in enumerate(thresholds):
             tp, fp, fn, _ = _statistics(
                 ov, dc_iof if metric == "bbox" else None, scores, gt_ign,
-                det_ign, MIN_OVERLAP[cls], thr, True)
+                det_ign, min_overlap, thr, True)
             tps[t] += tp
             fps[t] += fp
             fns[t] += fn
@@ -329,6 +334,44 @@ def kitti_eval(gt_annos, det_annos, classes=CLASSES,
                 ap = eval_class(gt_annos, det_annos, cls, d, metric,
                                 overlaps=ov)
                 out[f"{cls}_{metric}_{diff_names[d]}"] = ap
+        for d in difficulties:
+            vals = [out[f"{c}_{metric}_{diff_names[d]}"] for c in classes]
+            out[f"mAP_{metric}_{diff_names[d]}"] = float(np.mean(vals))
+    return out
+
+
+# coco-style IoU sweep ranges (start, stop, n): Car-like classes sweep
+# 0.5:0.95, small classes 0.25:0.70 (reference kitti_eval_coco_style,
+# eval.py:784-812 class_to_range).
+COCO_RANGE = {"Car": (0.5, 0.95, 10),
+              "Pedestrian": (0.25, 0.70, 10),
+              "Cyclist": (0.25, 0.70, 10)}
+
+
+def kitti_eval_coco_style(gt_annos, det_annos, classes=CLASSES,
+                          metrics=("bbox", "bev", "3d"),
+                          difficulties=(0, 1, 2)):
+    """COCO-style KITTI AP: average AP over a per-class IoU-threshold
+    linspace instead of the single official threshold (reference
+    ``kitti_eval_coco_style`` + ``do_coco_style_eval``, eval.py:784).
+
+    Returns {'<cls>_<metric>_<difficulty>': mean-over-IoU AP} plus
+    'mAP_<metric>_<difficulty>' aggregates — same key scheme as
+    :func:`kitti_eval` so both plug into the same reporting.
+    """
+    out = {}
+    diff_names = ("easy", "moderate", "hard")
+    for metric in metrics:
+        ov = precompute_overlaps(gt_annos, det_annos, metric)
+        for cls in classes:
+            lo, hi, n = COCO_RANGE[cls]
+            thr_sweep = np.linspace(lo, hi, n)
+            for d in difficulties:
+                aps = [eval_class(gt_annos, det_annos, cls, d, metric,
+                                  overlaps=ov, min_overlap=float(t))
+                       for t in thr_sweep]
+                out[f"{cls}_{metric}_{diff_names[d]}"] = float(
+                    np.mean(aps))
         for d in difficulties:
             vals = [out[f"{c}_{metric}_{diff_names[d]}"] for c in classes]
             out[f"mAP_{metric}_{diff_names[d]}"] = float(np.mean(vals))

@@ -121,3 +121,25 @@ def test_dontcare_absorbs_fp():
             == out_clean["Car_bbox_moderate"])
     assert (out_nodc["Car_bbox_moderate"]
             <= out_dc["Car_bbox_moderate"])
+
+
+def test_coco_style_eval():
+    """Perfect detections score 100 at every IoU threshold in the sweep;
+    jittered boxes score strictly lower under coco-style than at the
+    single official threshold (the high-IoU sweep points fail first)."""
+    rng = np.random.RandomState(3)
+    gts = [_make_gt(rng, n_cars=4, n_peds=0) for _ in range(12)]
+    dets = [_perfect_det(g) for g in gts]
+    out = ke.kitti_eval_coco_style(gts, dets, metrics=("bbox",))
+    assert abs(out["Car_bbox_moderate"] - 100.0) < 1e-6
+
+    jit_dets = []
+    for g in gts:
+        d = _perfect_det(g)
+        d["bbox"] = d["bbox"] + np.array([6.0, 4.0, -6.0, -4.0],
+                                         np.float32)
+        jit_dets.append(d)
+    coco = ke.kitti_eval_coco_style(gts, jit_dets, metrics=("bbox",))
+    plain = ke.kitti_eval(gts, jit_dets, metrics=("bbox",))
+    assert coco["Car_bbox_moderate"] < plain["Car_bbox_moderate"]
+    assert coco["Car_bbox_moderate"] > 0.0

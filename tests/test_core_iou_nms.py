@@ -95,7 +95,9 @@ def test_nearest_bev_iou_snaps_heading():
 
 
 def _np_greedy_nms_2d(boxes, scores, thr):
-    order = np.argsort(-scores)
+    # stable: equal scores keep lowest index first (matches argmax and
+    # jnp stable-argsort tie-breaking)
+    order = np.argsort(-scores, kind="stable")
     keep = []
     alive = np.ones(len(boxes), bool)
     for i in order:
@@ -152,3 +154,20 @@ def test_batched_nms_classes_dont_suppress():
     idx, valid = nms.batched_nms_2d(
         jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels), 0.5, 2)
     assert np.asarray(valid).sum() == 2
+
+
+def test_nms_2d_fixed_point_matches_greedy_large():
+    """The fixed-point NMS must equal serial greedy on dense, tied,
+    padded inputs (n=500, heavy overlap, duplicated scores)."""
+    rng = np.random.RandomState(7)
+    n = 500
+    x1y1 = rng.rand(n, 2).astype(np.float32) * 40  # dense field
+    boxes = np.concatenate([x1y1, x1y1 + rng.rand(n, 2) * 25 + 2], axis=1)
+    scores = np.round(rng.rand(n).astype(np.float32), 2)  # force ties
+    scores[-20:] = nms.NEG_INF  # padding
+    for thr in (0.3, 0.5, 0.7):
+        idx, valid = nms.nms_2d(jnp.asarray(boxes), jnp.asarray(scores),
+                                thr, 128)
+        got = np.asarray(idx)[np.asarray(valid)]
+        want = _np_greedy_nms_2d(boxes, scores, thr)[:128]
+        np.testing.assert_array_equal(got, want)

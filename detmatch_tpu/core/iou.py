@@ -19,6 +19,24 @@ from . import geometry
 EPS = 1e-8
 
 
+def quantize(ious, bits=20):
+    """Snap IoU values to a 2^-bits grid (exact fp32 ops for |x| <= 1).
+
+    Target assigners break ties with exact comparisons against a max
+    (``ious == gt_max``) and ``argmax``. Mathematically tied entries can
+    come out of two differently-compiled XLA programs (e.g. batch-sharded
+    vs not, with different FMA/fusion choices) differing by a few ulps,
+    which flips those discrete decisions — the root cause of the
+    data-parallel vs single-device divergence this repo's multichip
+    equality suite guards. Rounding to a coarse power-of-two grid
+    collapses ulp-level noise so ties resolve identically in every
+    program layout. 2^-20 ≈ 1e-6 is far below any assignment threshold
+    spacing and far above compilation noise (~1e-7 relative).
+    """
+    scale = jnp.float32(2.0 ** bits)
+    return jnp.round(ious * scale) * (1.0 / scale)
+
+
 # ---------------------------------------------------------------------------
 # Axis-aligned 2D
 # ---------------------------------------------------------------------------

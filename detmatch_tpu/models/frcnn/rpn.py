@@ -55,6 +55,10 @@ def max_iou_assign(anchors_or_props, valid, gt_boxes, gt_valid,
         assigned: (N,) int32: -1 ignore / 0 bg / 1-based gt index.
     """
     ious = iou_mod.iou2d(anchors_or_props, gt_boxes)  # (N, G)
+    # snap to a 2^-20 grid: the ==max force-match and argmax tie-breaks
+    # below must be invariant to ulp-level compilation noise (see
+    # core.iou.quantize) or data-parallel == single-device breaks
+    ious = iou_mod.quantize(ious)
     ious = jnp.where(gt_valid[None, :], ious, -1.0)
     ious = jnp.where(valid[:, None], ious, -1.0)
     max_iou = jnp.max(ious, axis=1)

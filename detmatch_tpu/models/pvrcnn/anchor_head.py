@@ -132,6 +132,9 @@ def assign_targets(anchors_flat, per_anchor_class, gt_boxes, match_thr,
     gt_cls = gt_boxes[:, 7].astype(jnp.int32)
     gt_valid = gt_cls > 0
     ious = iou_mod.nearest_bev_iou(anchors_flat, gt_boxes[:, :7])  # (A, M)
+    # snap to a 2^-20 grid so the ==max force-match / argmax tie-breaks
+    # are invariant to ulp-level compilation noise (core.iou.quantize)
+    ious = iou_mod.quantize(ious)
     # class-restricted: anchor of class c only sees gts of class c
     same = (per_anchor_class[:, None] + 1) == gt_cls[None, :]
     ious = jnp.where(same & gt_valid[None, :], ious, -1.0)

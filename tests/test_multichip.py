@@ -32,15 +32,33 @@ def _mesh(n):
     return Mesh(np.array(devs[:n]), ("data",))
 
 
-def _tree_close(a, b, atol):
-    diffs = jax.tree.map(lambda x, y: float(jnp.max(jnp.abs(x - y))), a, b)
+def _tree_close(a, b, atol, rtol=0.0):
+    """Per-leaf |a-b| <= atol + rtol * max|a| (rtol=0 → pure absolute)."""
+    def leaf_bad(x, y):
+        d = float(jnp.max(jnp.abs(x - y)))
+        return d - (atol + rtol * float(jnp.max(jnp.abs(x))))
+
+    diffs = jax.tree.map(leaf_bad, a, b)
     worst = max(jax.tree.leaves(diffs))
-    assert worst < atol, f"worst leaf divergence {worst}"
+    assert worst < 0, f"worst leaf over budget by {worst}"
 
 
 @pytest.mark.parametrize("n", [2, 8])
 def test_pretrain_grads_match_single_device(n):
-    """PVRCNN loss+grads: n-device data-parallel == single device."""
+    """PVRCNN loss+grads: n-device data-parallel == single device.
+
+    Tolerance for the continuous comparison is justified by an fp64
+    ground-truth study (``tools/misc/dp_noise_study.py``): the worst
+    1-dev↔8-dev fp32 leaf divergence is ~3.5e-3 abs / ~3e-3 relative
+    (BatchNorm-chain accumulation-order noise in the deep backbone),
+    while the same grads deviate from an fp64 run by up to ~2e0
+    RELATIVE (fp32 itself flips discrete RoI-sampling decisions vs
+    fp64) — the sharded step is three orders of magnitude inside
+    fp32's own precision envelope. Discrete decisions are additionally
+    required to match EXACTLY, so sharding can never flip a
+    sampling/assignment outcome (guaranteed by the tie-break
+    quantization in core.iou.quantize).
+    """
     from detmatch_tpu.models.pvrcnn.pvrcnn import PVRCNN
 
     rng = np.random.RandomState(0)
@@ -66,9 +84,22 @@ def test_pretrain_grads_match_single_device(n):
 
         return jax.value_and_grad(loss_fn)(params)
 
+    def discrete(params, batch, rng_):
+        """All integer/bool forward outputs (sampling + assignment
+        decisions) — must be bit-identical under sharding."""
+        out, _ = model.apply(
+            dict(variables, params=params), batch, train=True,
+            rngs={"sampling": rng_, "dropout": rng_},
+            mutable=["batch_stats"])
+        return {k: v for k, v in out.items()
+                if hasattr(v, "dtype") and v.dtype in (jnp.int32,
+                                                       jnp.bool_)}
+
     step_rng = jax.random.PRNGKey(1)
     loss_1, grads_1 = jax.jit(loss_and_grads)(
         variables["params"], batch, step_rng)
+    disc_1 = jax.device_get(jax.jit(discrete)(
+        variables["params"], batch, step_rng))
 
     mesh = _mesh(n)
     repl = NamedSharding(mesh, P())
@@ -80,12 +111,19 @@ def test_pretrain_grads_match_single_device(n):
             jax.device_put(variables["params"], repl),
             jax.device_put(batch, shard), step_rng)
         jax.block_until_ready(loss_n)
+        disc_n = jax.device_get(jax.jit(
+            discrete, in_shardings=(repl, shard, repl))(
+            jax.device_put(variables["params"], repl),
+            jax.device_put(batch, shard), step_rng))
 
+    for k in disc_1:
+        assert np.array_equal(disc_1[k], disc_n[k]), \
+            f"discrete output {k} flipped under sharding"
     np.testing.assert_allclose(float(loss_n), float(loss_1), rtol=1e-4)
-    _tree_close(grads_1, grads_n, atol=1e-3)
+    _tree_close(grads_1, grads_n, atol=1e-3, rtol=1e-2)
 
 
-@pytest.mark.parametrize("n", [2])
+@pytest.mark.parametrize("n", [2, 8])
 def test_ssl_staged_step_matches_single_device(n):
     """One full staged SSL step (teacher → stu3d → stu2d → EMA) over an
     n-device mesh equals the single-device run on the same global batch."""

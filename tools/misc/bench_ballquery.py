@@ -11,8 +11,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+from detmatch_tpu.utils.env import host_cache_dir  # noqa: E402
+_cache = host_cache_dir()
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_enable_xla_caches",
+                  "none")  # AOT entries embed compile-machine pseudo-features
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import sys

@@ -61,11 +61,14 @@ def _fake_pcdet_sd():
     for i, (ci, co) in enumerate(((256, 128), (128, 256))):
         t(f"backbone_2d.blocks.{i}.1.weight", co, ci, 3, 3)
         bn(f"backbone_2d.blocks.{i}.2", co)
+        # real layout: [ZeroPad2d, Conv, BN, ReLU] + 5 x [Conv, BN, ReLU]
+        # → convs at 1, 4, 7, ... (verified vs the real torch module in
+        # test_torch_model_parity.py)
         for j in range(5):
-            idx = 3 + j * 3
+            idx = 4 + j * 3
             t(f"backbone_2d.blocks.{i}.{idx}.weight", co, co, 3, 3)
             bn(f"backbone_2d.blocks.{i}.{idx + 1}", co)
-    t("backbone_2d.deblocks.0.0.weight", 256, 128, 1, 1)  # Conv2d 1x1
+    t("backbone_2d.deblocks.0.0.weight", 128, 256, 1, 1)  # ConvT 1x1 s1
     bn("backbone_2d.deblocks.0.1", 256)
     t("backbone_2d.deblocks.1.0.weight", 256, 256, 2, 2)  # ConvTranspose2d
     bn("backbone_2d.deblocks.1.1", 256)

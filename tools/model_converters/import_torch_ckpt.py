@@ -134,21 +134,24 @@ def convert_pvrcnn(sd, hc_z=2, hc_c=128, grid_size=6):
         put(["backbone2d", f"block{i}_0", "conv"], conv)
         put(["backbone2d", f"block{i}_0", "bn"], p, s)
         for j in range(n_layers):
-            idx = 3 + j * 3
+            idx = 4 + j * 3
             put(["backbone2d", f"block{i}_{j + 1}", "conv"],
                 _conv2d(sd, f"backbone_2d.blocks.{i}.{idx}"))
             pb, sb = _bn(sd, f"backbone_2d.blocks.{i}.{idx + 1}")
             put(["backbone2d", f"block{i}_{j + 1}", "bn"], pb, sb)
-        # deblocks.i: [ConvTranspose2d|Conv2d, BN, ReLU]
+        # deblocks.i: [ConvTranspose2d, BN, ReLU] — the reference uses
+        # ConvTranspose2d for every upsample stride >= 1
+        # (base_bev_backbone.py:60-71), so the weight layout is
+        # (in, out, kh, kw) in BOTH cases. A stride-1 1x1 ConvTranspose
+        # equals a 1x1 Conv with the (kh, kw, in, out) reshape; verified
+        # numerically vs the real torch module in
+        # tests/test_torch_model_parity.py.
+        # torch ConvTranspose2d is the gradient-of-conv (spatially
+        # flipped kernel); flax nn.ConvTranspose(transpose_kernel=False)
+        # applies the kernel unflipped — mirror the spatial axes.
         wt = _np(sd[f"backbone_2d.deblocks.{i}.0.weight"])
-        if wt.shape[-1] == 1:  # 1x1 conv (upsample stride 1)
-            put(["backbone2d", f"deblock{i}", "conv"],
-                {"kernel": wt.transpose(2, 3, 1, 0)})
-        else:
-            # torch ConvTranspose2d (in, out, kh, kw) → flax (kh, kw, in,
-            # out); torch's correlation vs flax transposed-conv flip
-            put(["backbone2d", f"deblock{i}", "conv"],
-                {"kernel": wt.transpose(2, 3, 0, 1)})
+        put(["backbone2d", f"deblock{i}", "conv"],
+            {"kernel": wt.transpose(2, 3, 0, 1)[::-1, ::-1].copy()})
         pb, sb = _bn(sd, f"backbone_2d.deblocks.{i}.1")
         put(["backbone2d", f"deblock{i}", "bn"], pb, sb)
 

@@ -83,7 +83,7 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
               load_from_with_optimizer: Optional[str] = None,
               val_dataset=None, val_collate_fn=None, eval_interval=None,
               profile_dir: Optional[str] = None, vis_interval=None,
-              tensorboard=False):
+              tensorboard=False, ckpt_meta: Optional[Dict] = None):
     """Run DetMatch SSL training.
 
     LR autoscaling follows the reference recipe (``split_0.py:824-827``):
@@ -230,7 +230,9 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
                 checkpoints.save(
                     os.path.join(work_dir, "ckpt"),
                     dict(state=jax.device_get(state),
-                         opt_state=jax.device_get(opt_state)), it + 1)
+                         opt_state=jax.device_get(opt_state)), it + 1,
+                    meta=checkpoints.default_meta(
+                        **(ckpt_meta or {}), iter=it + 1))
             if (eval_interval and val_dataset is not None and is_primary()
                     and ((it + 1) % eval_interval == 0
                          or (it + 1) == max_iters)):

@@ -18,11 +18,38 @@ import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 
-def save(path: str, payload: Dict[str, Any], step: int):
+def save(path: str, payload: Dict[str, Any], step: int,
+         meta: Optional[Dict[str, Any]] = None):
+    """Save a checkpoint; ``meta`` (CLASSES, config text, versions, time —
+    reference ``tools/train.py:210-220`` checkpoint meta) lands as a
+    meta.json sidecar inside the step directory."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, f"ckpt_{step}"), payload, force=True)
+    step_dir = os.path.join(path, f"ckpt_{step}")
+    ckptr.save(step_dir, payload, force=True)
     ckptr.wait_until_finished()
+    if meta is not None:
+        import json
+        with open(os.path.join(step_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1, default=str)
+
+
+def default_meta(classes=None, config_text=None, **extra):
+    """Environment/version stamp for checkpoint meta."""
+    import time
+    import jax
+    import flax
+    import optax as _optax
+    from .. import __version__ as pkg_version
+    meta = dict(time=time.strftime("%Y-%m-%d %H:%M:%S"),
+                detmatch_tpu=pkg_version, jax=jax.__version__,
+                flax=flax.__version__, optax=_optax.__version__)
+    if classes is not None:
+        meta["CLASSES"] = list(classes)
+    if config_text is not None:
+        meta["config"] = config_text
+    meta.update(extra)
+    return meta
 
 
 def restore(path: str, step: int, template: Dict[str, Any]):

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import optax
 
 from ..ops import voxelize
-from ..ssl.detector import SSLDetector, ema_decay_at, ema_update
+from ..ssl.detector import (SSLDetector, ema_decay_at, ema_update,
+                            ssl_weight_at)
 
 
 def voxelize_views(batch, spec):
@@ -126,7 +127,7 @@ def make_ssl_train_fns_split(ssl: SSLDetector, tx3d, tx2d,
         batch = voxelize_views(batch, vox_spec)
         return ssl.teacher_pseudo_labels(teacher_state, batch), batch
 
-    def _branch_fn(tx, loss_method, stats_key):
+    def _branch_fn(tx, loss_method, stats_key, ramp_logs=False):
         def fn(variables, opt_state, batch, pseudo, it, rng):
             def loss_fn(p):
                 v = dict(variables, params=p)
@@ -142,12 +143,17 @@ def make_ssl_train_fns_split(ssl: SSLDetector, tx3d, tx2d,
                 new_vars["batch_stats"] = aux["batch_stats"][stats_key]
             logs = dict(aux["logs"])
             logs["loss"] = total
+            if ramp_logs:
+                # reference log channels ssl.weight / ssl.ema_decay
+                # (ssl.py:331-347); emitted once, from the 3d branch
+                logs["ssl.weight"] = ssl_weight_at(it, ssl.cfg)
+                logs["ssl.ema_decay"] = ema_decay_at(it, ssl.cfg)
             return new_vars, new_opt, logs
         return fn
 
     loss3d = (ssl.student_losses_3d_concat
               if ssl.cfg.concat_student_batch else ssl.student_losses_3d)
-    stu3d_fn = _branch_fn(tx3d, loss3d, "det3d")
+    stu3d_fn = _branch_fn(tx3d, loss3d, "det3d", ramp_logs=True)
     stu2d_fn = _branch_fn(tx2d, ssl.student_losses_2d, None)
 
     def ema_fn(teacher, student, it):

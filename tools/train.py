@@ -96,7 +96,11 @@ def main():
                       "interval"),
                   profile_dir=cfg.get("profile_dir"),
                   vis_interval=cfg.get("vis_interval"),
-                  tensorboard=cfg.get("tensorboard", False))
+                  tensorboard=cfg.get("tensorboard", False),
+                  ckpt_meta=dict(
+                      classes=cfg.get("class_names",
+                                      ("Pedestrian", "Cyclist", "Car")),
+                      config_text=open(args.config).read()))
     elif task == "pretrain_3d":
         from detmatch_tpu.apis.train_pretrain import train_pvrcnn
         from detmatch_tpu.data.collate import collate_view

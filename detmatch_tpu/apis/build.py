@@ -22,6 +22,7 @@ PIPELINE_REGISTRY = {
     "Resize": pipelines.Resize,
     "RandomFlip3D": pipelines.RandomFlip3D,
     "GlobalRotScaleTrans": pipelines.GlobalRotScaleTrans,
+    "ObjectNoise": pipelines.ObjectNoise,
     "PointsRangeFilter": pipelines.PointsRangeFilter,
     "ObjectRangeFilter": pipelines.ObjectRangeFilter,
     "PointShuffle": pipelines.PointShuffle,

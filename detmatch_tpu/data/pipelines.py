@@ -152,6 +152,71 @@ class GlobalRotScaleTrans:
         return results
 
 
+class ObjectNoise:
+    """Per-object noise: independent translation + yaw perturbation of
+    each GT box (and the points inside it), first-non-colliding candidate
+    kept (reference ``transforms_3d.py:368`` →
+    ``data_augment_utils.noise_per_object_v3_``).
+
+    Not used by any DetMatch config, but part of the reference's pipeline
+    surface. Global scene rotation (``global_rot_range``) is only
+    supported at its DetMatch-default disabled value [0, 0].
+    """
+
+    def __init__(self, translation_std=(0.25, 0.25, 0.25),
+                 global_rot_range=(0.0, 0.0),
+                 rot_range=(-0.15707963267, 0.15707963267),
+                 num_try=100, rng=None):
+        assert abs(global_rot_range[0] - global_rot_range[1]) < 1e-3, \
+            "global rotation noise is not supported (disabled in every " \
+            "reference config)"
+        self.trans_std = np.asarray(translation_std, np.float32)
+        self.rot_range = rot_range
+        self.num_try = num_try
+        self.rng = rng or np.random
+
+    def __call__(self, results):
+        boxes = results.get("gt_bboxes_3d")
+        if boxes is None or not len(boxes):
+            return results
+        from .dbsampler import _bev_corners, _boxes_collide
+        boxes = boxes.copy()
+        pts = results["points"].copy()
+        n = len(boxes)
+        loc_noises = (self.rng.randn(n, self.num_try, 3)
+                      * self.trans_std[None, None]).astype(np.float32)
+        rot_noises = self.rng.uniform(
+            self.rot_range[0], self.rot_range[1],
+            size=(n, self.num_try)).astype(np.float32)
+        in_box = np.asarray(geometry.points_in_boxes(
+            pts[:, :3], boxes))  # (n_boxes, n_pts) bool, box-major
+        # sequential greedy, like noise_per_object_v3_: each box takes the
+        # first candidate that doesn't collide with the current scene
+        for i in range(n):
+            others = np.concatenate([boxes[:i], boxes[i + 1:]], axis=0)
+            other_c = _bev_corners(others) if len(others) else None
+            for j in range(self.num_try):
+                cand = boxes[i].copy()
+                cand[:3] += loc_noises[i, j]
+                cand[6] += rot_noises[i, j]
+                if other_c is not None and len(other_c):
+                    if _boxes_collide(_bev_corners(cand[None]),
+                                      other_c).any():
+                        continue
+                # accept: move the box and its interior points
+                sel = in_box[i]
+                if sel.any():
+                    local = pts[sel, :3] - boxes[i, :3][None]
+                    local = np.asarray(geometry.rotate_points_z(
+                        local, np.float32(rot_noises[i, j])))
+                    pts[sel, :3] = local + cand[:3][None]
+                boxes[i] = cand
+                break
+        results["gt_bboxes_3d"] = boxes
+        results["points"] = pts
+        return results
+
+
 class PointsRangeFilter:
     def __init__(self, point_cloud_range):
         self.pcr = np.asarray(point_cloud_range, np.float32)

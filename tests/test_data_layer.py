@@ -147,3 +147,45 @@ def test_dbsampler(kitti_root):
         # sampled points carry their box's offset
         for b, p in zip(boxes, pts):
             assert np.abs(p[:, :3].mean(0) - b[:3]).max() < 2.5
+
+
+def test_object_noise():
+    """ObjectNoise: each box gets an independent small translation + yaw
+    perturbation; its interior points move rigidly with it; disjoint
+    boxes stay collision-free (reference transforms_3d.py:368 →
+    noise_per_object_v3_ greedy first-non-colliding candidate)."""
+    rng = np.random.RandomState(3)
+    boxes = np.array([[10.0, 0.0, -0.9, 3.9, 1.6, 1.56, 0.3],
+                      [30.0, 8.0, -0.8, 0.8, 0.6, 1.73, -1.0]], np.float32)
+    # 40 points inside each box (local frame → world)
+    pts = []
+    for b in boxes:
+        local = (rng.rand(40, 3).astype(np.float32) - 0.5) \
+            * b[3:6][None] * 0.9
+        world = np.asarray(geometry.rotate_points_z(local, b[6])) + b[:3]
+        pts.append(np.concatenate([world, rng.rand(40, 1)], 1))
+    pts = np.concatenate(pts).astype(np.float32)
+
+    tr = pipelines.ObjectNoise(translation_std=(0.5, 0.5, 0.0),
+                               rot_range=(-0.3, 0.3),
+                               rng=np.random.RandomState(0))
+    out = tr({"gt_bboxes_3d": boxes.copy(), "points": pts.copy()})
+    nb, npts = out["gt_bboxes_3d"], out["points"]
+
+    # boxes actually moved, sizes untouched, perturbations bounded
+    assert np.abs(nb[:, :3] - boxes[:, :3]).max() > 1e-3
+    np.testing.assert_array_equal(nb[:, 3:6], boxes[:, 3:6])
+    assert np.abs(nb[:, :2] - boxes[:, :2]).max() < 3.0  # ~6 sigma
+    assert np.abs(nb[:, 6] - boxes[:, 6]).max() <= 0.3 + 1e-6
+    assert np.abs(nb[:, 2] - boxes[:, 2]).max() < 1e-6  # z std 0
+
+    # interior points moved rigidly: still inside their (moved) box,
+    # same count per box, intensity channel untouched
+    inside = np.asarray(geometry.points_in_boxes(npts[:, :3], nb))
+    assert inside[0, :40].all() and inside[1, 40:].all()
+    np.testing.assert_array_equal(npts[:, 3], pts[:, 3])
+
+    # empty input passes through
+    empty = tr({"gt_bboxes_3d": np.zeros((0, 7), np.float32),
+                "points": pts.copy()})
+    assert len(empty["gt_bboxes_3d"]) == 0

@@ -4,11 +4,15 @@ Exact greedy NMS in two phases:
 1. the pairwise IoU matrix is computed up front in row chunks
    (``lax.map``), so the quadratic geometry work runs as wide vectorized
    VPU ops with bounded memory;
-2. a fixed-trip-count selection loop (argmax + row-gather + mask update)
-   reproduces the sequential greedy semantics of the reference's CUDA NMS
+2. a fixed-point mask iteration (``while`` over whole-array keep-mask
+   updates, converging when the keep set stops changing) reproduces the
+   sequential greedy semantics of the reference's CUDA NMS
    (``pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu``, mmcv ``nms``) with a
    trivial loop body — important on TPU where complex loop bodies compile
-   slowly and serialize.
+   slowly and serialize. Worst case: a deep suppression chain (a
+   staircase of boxes each overlapping only the next) needs up to n
+   iterations of an O(N²) reduce; typical scenes converge in a handful
+   (the ``it < n`` cap still yields the exact greedy vector).
 
 All functions return fixed-size index buffers plus validity masks; invalid
 slots point at index 0 with ``valid=False``.

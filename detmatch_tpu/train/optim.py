@@ -14,7 +14,7 @@ one-cycle LR + momentum used for 3D pretrain
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -107,37 +107,58 @@ def hybrid_optimizer(label_fn: Callable, transforms: Dict[str,
     )
 
 
+class SkipNonfiniteState(NamedTuple):
+    """Wrapper state: the inner optimizer state + a skipped-step count."""
+    inner: Any
+    skipped: Any  # () int32
+
+
 def skip_nonfinite(inner: optax.GradientTransformation):
     """Skip the update when any gradient is non-finite (reference
     MyOptimizerHook NaN-grad skip, ``core/utils/gradient_cumulative.py:9-31``).
+
+    One inf/NaN gradient step would otherwise poison the parameters
+    PERMANENTLY (inf grads → NaN global-norm clip scale → NaN params) —
+    observed in practice around iter ~160 of tiny synthetic SSL runs.
+    On a skipped step the update is zero and the inner optimizer state
+    (momenta, counts) is left untouched; ``.skipped`` counts occurrences
+    for the train-log ``grad_skips`` channel.
     """
     def init(params):
-        return inner.init(params)
+        import jax.numpy as jnp
+        return SkipNonfiniteState(inner.init(params),
+                                  jnp.zeros((), jnp.int32))
 
     def update(grads, state, params=None, **kw):
         import jax.numpy as jnp
         finite = jnp.all(jnp.asarray(
             [jnp.all(jnp.isfinite(g))
              for g in jax.tree_util.tree_leaves(grads)]))
-        updates, new_state = inner.update(grads, state, params, **kw)
+        updates, new_inner = inner.update(grads, state.inner, params,
+                                          **kw)
         updates = jax.tree.map(
             lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
-        new_state = jax.tree.map(
+        new_inner = jax.tree.map(
             lambda n, o: jnp.where(finite, n, o) if hasattr(n, "shape")
             and n.shape == getattr(o, "shape", None) else n,
-            new_state, state)
-        return updates, new_state
+            new_inner, state.inner)
+        skipped = state.skipped + jnp.where(finite, 0, 1).astype(
+            state.skipped.dtype)
+        return updates, SkipNonfiniteState(new_inner, skipped)
 
     return optax.GradientTransformation(init, update)
 
 
 def detmatch_branch_optimizers(lr_3d, lr_2d, clip_norm=10.0):
     """Per-branch optimizers for the split SSL step: AdamW for det3d,
-    SGD-momentum for det2d (the reference HybridOptimizer's two groups)."""
-    tx3d = optax.chain(optax.clip_by_global_norm(clip_norm),
-                       adamw(warmup_step_lr(lr_3d)))
-    tx2d = optax.chain(optax.clip_by_global_norm(clip_norm),
-                       sgd_momentum(warmup_step_lr(lr_2d)))
+    SGD-momentum for det2d (the reference HybridOptimizer's two groups),
+    each guarded by the NaN/inf-grad skip."""
+    tx3d = skip_nonfinite(optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        adamw(warmup_step_lr(lr_3d))))
+    tx2d = skip_nonfinite(optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        sgd_momentum(warmup_step_lr(lr_2d))))
     return tx3d, tx2d
 
 

@@ -143,6 +143,9 @@ def make_ssl_train_fns_split(ssl: SSLDetector, tx3d, tx2d,
                 new_vars["batch_stats"] = aux["batch_stats"][stats_key]
             logs = dict(aux["logs"])
             logs["loss"] = total
+            from .optim import SkipNonfiniteState
+            if isinstance(new_opt, SkipNonfiniteState):
+                logs["grad_skips"] = new_opt.skipped
             if ramp_logs:
                 # reference log channels ssl.weight / ssl.ema_decay
                 # (ssl.py:331-347); emitted once, from the 3d branch

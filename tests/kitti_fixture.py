@@ -72,3 +72,153 @@ def make_kitti(root, n_frames=3, n_points=4000, seed=0):
     with open(split, "w") as f:
         f.write("\n".join(idxs) + "\n")
     return split
+
+
+# ---------------------------------------------------------------------------
+# Randomized scenes — for learning studies (train/val generalization needs
+# varied object placements, not the 3 fixed frames above)
+# ---------------------------------------------------------------------------
+
+CLASS_DIMS = {  # (l, w, h) lidar-frame
+    "Car": (3.9, 1.6, 1.56),
+    "Pedestrian": (0.8, 0.6, 1.73),
+    "Cyclist": (1.76, 0.6, 1.73),
+}
+CLASS_COLOR = {  # rendered into image_2 so the 2D branch has signal
+    "Car": (220, 40, 40),
+    "Pedestrian": (40, 220, 40),
+    "Cyclist": (40, 40, 220),
+}
+
+
+def _calib_mats():
+    vals = {}
+    for line in CALIB_TXT.strip().splitlines():
+        k, v = line.split(":", 1)
+        vals[k] = np.fromstring(v, sep=" ", dtype=np.float32)
+    P2 = vals["P2"].reshape(3, 4)
+    R0 = np.eye(4, dtype=np.float32)
+    R0[:3, :3] = vals["R0_rect"].reshape(3, 3)
+    Tr = np.eye(4, dtype=np.float32)
+    Tr[:3, :4] = vals["Tr_velo_to_cam"].reshape(3, 4)
+    return P2, R0, Tr
+
+
+def make_kitti_random(root, n_frames, seed=0, split="train",
+                      n_points=2500, x_range=(4.0, 14.0),
+                      max_objects=3, start_idx=0):
+    """Generate ``n_frames`` randomized scenes under ``root``.
+
+    Each scene: 1..max_objects objects at random non-overlapping BEV
+    positions inside the tiny-config point-cloud range, a point cloud of
+    uniform background + dense uniform points INSIDE each box, and an
+    image with a class-colored rectangle rendered at each object's
+    projected 2D bbox (so both branches have learnable signal). Labels
+    are derived from the 3D boxes through the real calib chain
+    (``geometry.boxes_lidar_to_camera`` + corner projection), i.e. the
+    exact inverse of what ``data/kitti.py`` applies on load.
+    """
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".."))
+    from detmatch_tpu.core import geometry
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    P2, R0, Tr = _calib_mats()
+    r0_v2c = (R0 @ Tr).astype(np.float32)
+    P2_4 = np.eye(4, dtype=np.float32)
+    P2_4[:3] = P2
+    proj = (P2_4 @ R0 @ Tr).astype(np.float32)  # lidar -> pixels
+
+    sub = os.path.join(root, "training")
+    for d in ("velodyne", "velodyne_reduced", "calib", "label_2",
+              "image_2"):
+        os.makedirs(os.path.join(sub, d), exist_ok=True)
+
+    idxs = []
+    for fi in range(n_frames):
+        idx = f"{start_idx + fi:06d}"
+        idxs.append(idx)
+        # ---- sample non-overlapping boxes (lidar frame) ----
+        names, boxes = [], []
+        for _ in range(rng.randint(1, max_objects + 1)):
+            name = ("Car", "Pedestrian", "Cyclist")[rng.randint(3)]
+            l, w, h = CLASS_DIMS[name]
+            for _try in range(30):
+                x = rng.uniform(*x_range)
+                # keep |cam x| / z < ~0.55 so the object projects into
+                # the image
+                y = rng.uniform(-1, 1) * min(5.0, 0.5 * x)
+                cand = np.array([x, y, -1.0, l, w, h,
+                                 rng.uniform(-np.pi, np.pi)], np.float32)
+                if all(np.linalg.norm(cand[:2] - b[:2]) >
+                       0.7 * (max(l, w) + max(b[3], b[4]))
+                       for b in boxes):
+                    boxes.append(cand)
+                    names.append(name)
+                    break
+        boxes = np.stack(boxes).astype(np.float32)
+
+        # ---- 2D bboxes from projected corners ----
+        corners = np.asarray(geometry.boxes_to_corners_3d(boxes))  # (N,8,3)
+        uvw = np.concatenate(
+            [corners, np.ones_like(corners[..., :1])], -1) @ proj.T
+        uv = uvw[..., :2] / np.maximum(uvw[..., 2:3], 1e-3)
+        x1y1 = uv.min(axis=1)
+        x2y2 = uv.max(axis=1)
+        bb2d = np.concatenate([np.clip(x1y1, 0, [1242, 375]),
+                               np.clip(x2y2, 0, [1242, 375])], axis=1)
+
+        # ---- label file (camera-frame, exact inverse of the loader) ----
+        cam = np.asarray(geometry.boxes_lidar_to_camera(boxes, r0_v2c))
+        lines = []
+        for n, c2, c3 in zip(names, bb2d, cam):
+            x, y, z, l, h, w, ry = c3
+            alpha = float(ry - np.arctan2(x, z))
+            lines.append(
+                f"{n} 0.00 0 {alpha:.2f} "
+                f"{c2[0]:.2f} {c2[1]:.2f} {c2[2]:.2f} {c2[3]:.2f} "
+                f"{h:.2f} {w:.2f} {l:.2f} "
+                f"{x:.2f} {y:.2f} {z:.2f} {ry:.2f}")
+        with open(os.path.join(sub, "label_2", f"{idx}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with open(os.path.join(sub, "calib", f"{idx}.txt"), "w") as f:
+            f.write(CALIB_TXT)
+
+        # ---- points: uniform background + dense interior points ----
+        bg = np.concatenate([
+            rng.rand(n_points, 1) * 15.5 + 0.2,   # x
+            rng.rand(n_points, 1) * 15.5 - 7.8,   # y
+            rng.rand(n_points, 1) * 2.0 - 1.9,    # z (ground band)
+            rng.rand(n_points, 1) * 0.3,          # low reflectance
+        ], axis=1).astype(np.float32)
+        obj_pts = []
+        for b in boxes:
+            m = 180
+            local = (rng.rand(m, 3).astype(np.float32) - 0.5) * b[3:6]
+            world = np.asarray(geometry.rotate_points_z(
+                local, b[6])) + b[:3]
+            refl = rng.rand(m, 1).astype(np.float32) * 0.5 + 0.5
+            obj_pts.append(np.concatenate([world, refl], 1))
+        pts = np.concatenate([bg] + obj_pts).astype(np.float32)
+        for d in ("velodyne", "velodyne_reduced"):
+            pts.tofile(os.path.join(sub, d, f"{idx}.bin"))
+
+        # ---- image: noise + class-colored rectangles at 2D boxes ----
+        img = (rng.rand(375, 1242, 3) * 60).astype(np.uint8)
+        for n, c2 in zip(names, bb2d):
+            u1, v1, u2, v2 = c2.astype(int)
+            if u2 > u1 and v2 > v1:
+                col = np.array(CLASS_COLOR[n], np.uint8)
+                img[v1:v2, u1:u2] = (
+                    col[None, None]
+                    + rng.randn(v2 - v1, u2 - u1, 3) * 10
+                ).clip(0, 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(sub, "image_2", f"{idx}.png"))
+
+    split_path = os.path.join(root, f"{split}.txt")
+    with open(split_path, "w") as f:
+        f.write("\n".join(idxs) + "\n")
+    return split_path

@@ -88,3 +88,48 @@ def test_ramp_schedules():
     assert float(ssl_weight_at(60, cfg2)) < 1.0
     np.testing.assert_allclose(float(ssl_weight_at(110, cfg2)), 1.0,
                                atol=1e-6)
+
+
+def test_skip_nonfinite_guards_params():
+    """A non-finite gradient step must leave params and inner optimizer
+    state untouched (and count the skip); a finite step must update.
+    Regression: one inf grad used to poison params permanently (inf →
+    NaN clip scale → NaN params forever)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from detmatch_tpu.train.optim import (SkipNonfiniteState,
+                                          detmatch_branch_optimizers)
+
+    tx3, _ = detmatch_branch_optimizers(1e-3, 1e-3)
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    state = tx3.init(params)
+    assert isinstance(state, SkipNonfiniteState)
+
+    good = {"w": jnp.full((4,), 0.5), "b": jnp.ones((2,))}
+    bad = {"w": jnp.array([1.0, jnp.inf, 0.0, 0.0]),
+           "b": jnp.array([jnp.nan, 0.0])}
+
+    step = jax.jit(lambda g, s, p: tx3.update(g, s, p))
+    u1, s1 = step(good, state, params)
+    p1 = optax.apply_updates(params, u1)
+    assert int(s1.skipped) == 0
+    assert np.isfinite(np.asarray(p1["w"])).all()
+    assert float(jnp.abs(p1["w"] - params["w"]).max()) > 0
+
+    u2, s2 = step(bad, s1, p1)
+    p2 = optax.apply_updates(p1, u2)
+    assert int(s2.skipped) == 1
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(p1["w"]))
+    np.testing.assert_array_equal(np.asarray(p2["b"]), np.asarray(p1["b"]))
+    # inner momenta untouched by the bad step
+    for a, b in zip(jax.tree.leaves(s1.inner), jax.tree.leaves(s2.inner)):
+        if hasattr(a, "shape") and a.shape == getattr(b, "shape", None):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    u3, s3 = step(good, s2, p2)
+    p3 = optax.apply_updates(p2, u3)
+    assert int(s3.skipped) == 1
+    assert np.isfinite(np.asarray(p3["w"])).all()
+    assert float(jnp.abs(p3["w"] - p2["w"]).max()) > 0

@@ -7,6 +7,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 from detmatch_tpu.utils.env import host_cache_dir  # noqa: E402
@@ -17,7 +18,6 @@ jax.config.update("jax_persistent_cache_enable_xla_caches",
                   "none")  # AOT entries embed compile-machine pseudo-features
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 from detmatch_tpu.ops import pointnet

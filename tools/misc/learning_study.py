@@ -1,0 +1,234 @@
+"""Proof the SSL machinery LEARNS, end to end, on synthetic data.
+
+The unit/equality tests prove single-step mechanics; this study proves
+optimization works through the full pipeline (reference capability: the
+trained-model tables, ``README.md:112-124``). On a generated mini-KITTI
+tree (randomized scenes, held-out val split — ``tests/kitti_fixture.py``
+``make_kitti_random``) it runs, at tiny-config scale:
+
+  A. labeled-only: the SSL loop with ``ssl_weight=0`` (pure supervised
+     signal on the labeled split) for N iters;
+  B. DetMatch SSL: the full loop (teacher pseudo-labels, fusion,
+     consistency, EMA) on labeled + unlabeled splits for N iters,
+     bootstrapped from run A's midpoint checkpoint the way the
+     reference bootstraps SSL from pretrained detectors
+     (``load_from`` rule) — here both runs just start from the same
+     random init to keep the study self-contained;
+
+and evaluates {init, A, B} × {student, teacher} on the held-out val
+split with the real KITTI AP-R40 evaluator. Success criteria (asserted):
+
+  * train loss decreases (first-quartile mean > last-quartile mean);
+  * final 3D mAP(moderate) of run B's teacher > mAP at init;
+  * final 3D mAP(moderate) of run B's teacher >= run A's student
+    (the SSL machinery extracts signal from the unlabeled split).
+
+Writes ``docs/learning_study.json`` with the curves + APs. Run:
+    JAX_PLATFORMS=cpu python tools/misc/learning_study.py [--iters N]
+"""
+import argparse
+import json
+import os
+import pickle
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from detmatch_tpu.utils.env import setup_jax  # noqa: E402
+
+# honors DETMATCH_PLATFORM / JAX_PLATFORMS (sitecustomize imports jax
+# before env vars can take effect, so the explicit config call is the
+# only reliable platform switch) and sets up the host-keyed cache
+jax = setup_jax()
+
+
+def make_data(root):
+    """lab(6) / unlab(24) / val(8) randomized scenes + info pkls."""
+    from kitti_fixture import make_kitti_random
+    from detmatch_tpu.data import kitti
+
+    specs = dict(lab=(6, 0, 0), unlab=(24, 100, 200), val=(8, 500, 400))
+    paths = {}
+    for name, (n, seed, start) in specs.items():
+        split = make_kitti_random(root, n, seed=seed, split=name,
+                                  start_idx=start)
+        infos = kitti.create_infos(root, split, training=True)
+        p = os.path.join(root, f"kitti_infos_{name}.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(infos, f)
+        paths[name] = p
+    return paths
+
+
+def build_cfg(root, paths, iters, ssl_weight, work_dir, seed):
+    from detmatch_tpu.config import Config
+
+    cfg = Config.fromfile(os.path.join(REPO, "configs/tests/ssl_tiny.py"))
+    d = cfg["data"]
+    for split, key in (("train_lab", "lab"), ("train_unlab", "unlab")):
+        d[split]["dataset"]["data_root"] = root
+        d[split]["dataset"]["ann_file"] = paths[key]
+    d["val"]["data_root"] = root
+    d["val"]["ann_file"] = paths["val"]
+    cfg["max_iters"] = iters
+    cfg["batch_size"] = 2
+    cfg["num_unlabeled_samples"] = 2
+    cfg["log_interval"] = max(1, iters // 40)
+    cfg["ckpt_interval"] = iters
+    cfg["evaluation"] = None
+    cfg["ssl"] = dict(cfg.get("ssl", {}), ssl_weight=ssl_weight,
+                      # ramp SSL in over the first third, like the
+                      # reference's rampup recipe
+                      ssl_weight_rampup_start_iter=0,
+                      ssl_weight_rampup_num_iter=max(1, iters // 3))
+    cfg["work_dir"] = work_dir
+    return cfg
+
+
+def run_training(cfg, seed=0):
+    from detmatch_tpu.apis import build
+    from detmatch_tpu.apis.train_ssl import train_ssl
+    from detmatch_tpu.data.collate import collate_ts, collate_view
+
+    rng = np.random.RandomState(seed)
+    ssl = build.build_ssl(cfg)
+    vox = build.build_voxelizer(cfg["voxelizer"])
+    lab = build.build_dataset(cfg["data"]["train_lab"], rng=rng)
+    unlab = build.build_dataset(cfg["data"]["train_unlab"], rng=rng)
+    ck = dict(cfg["data"].get("collate", {}))
+    # Explicit small LRs: train_ssl's batch-scaled defaults target
+    # production batch sizes; at this toy scale they diverge (observed:
+    # AdamW@0.03 blows the RPN logits to ~8e3 and the RCNN head
+    # collapses to all-background → AP 0).
+    state = train_ssl(
+        ssl, vox, lab, unlab, lambda s: collate_ts(s, **ck),
+        cfg["work_dir"], max_iters=cfg["max_iters"],
+        batch_size=cfg["batch_size"],
+        lr_3d=cfg.get("lr_3d", 1e-3), lr_2d=cfg.get("lr_2d", 5e-3),
+        num_unlabeled=cfg["num_unlabeled_samples"], seed=seed,
+        log_interval=cfg["log_interval"],
+        ckpt_interval=cfg["ckpt_interval"])
+    return ssl, vox, jax.device_get(state)
+
+
+def run_eval(cfg, ssl, vox, state):
+    from detmatch_tpu.apis import build
+    from detmatch_tpu.apis.evaluate import eval_ssl
+    from detmatch_tpu.data.collate import collate_view
+
+    val = build.build_dataset(cfg["data"]["val"],
+                              rng=np.random.RandomState(0))
+    ck = dict(cfg["data"].get("collate", {}))
+    return eval_ssl(ssl, state, val, lambda s: collate_view(s, **ck),
+                    vox)
+
+
+def init_state(cfg, seed=0):
+    from detmatch_tpu.apis import build
+    from detmatch_tpu.data.collate import collate_ts
+    from detmatch_tpu.train.ssl_step import voxelize_views
+
+    rng = np.random.RandomState(seed)
+    ssl = build.build_ssl(cfg)
+    vox = build.build_voxelizer(cfg["voxelizer"])
+    lab = build.build_dataset(cfg["data"]["train_lab"], rng=rng)
+    ck = dict(cfg["data"].get("collate", {}))
+    batch = collate_ts([lab[0], lab[1]], **ck)
+    full = dict(lab=batch, unlab=batch)
+    lab3d = voxelize_views(full, vox)["lab"]["stu"]
+    state = ssl.init_states(jax.random.PRNGKey(seed), lab3d,
+                            lab3d["img"], lab3d["img_shape"])
+    return ssl, vox, jax.device_get(state)
+
+
+def loss_curve(work_dir):
+    losses = []
+    with open(os.path.join(work_dir, "log.json")) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            e = json.loads(line)
+            if e.get("mode") == "train":
+                losses.append((e["iter"], float(e["loss"])))
+    return losses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "docs", "learning_study.json"))
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    root = tempfile.mkdtemp(prefix="learn_kitti_") + "/"
+    print(f"[data] generating under {root}", flush=True)
+    paths = make_data(root)
+
+    wd_a = os.path.join(root, "run_labonly")
+    wd_b = os.path.join(root, "run_ssl")
+    cfg_a = build_cfg(root, paths, args.iters, 0.0, wd_a, seed=0)
+    cfg_b = build_cfg(root, paths, args.iters, 1.0, wd_b, seed=0)
+
+    print("[eval] init", flush=True)
+    ssl0, vox0, st0 = init_state(cfg_b, seed=0)
+    ap_init = run_eval(cfg_b, ssl0, vox0, st0)
+
+    print(f"[train] A: labeled-only, {args.iters} iters", flush=True)
+    ssl_a, vox_a, st_a = run_training(cfg_a, seed=0)
+    ap_a = run_eval(cfg_a, ssl_a, vox_a, st_a)
+
+    print(f"[train] B: DetMatch SSL, {args.iters} iters", flush=True)
+    ssl_b, vox_b, st_b = run_training(cfg_b, seed=0)
+    ap_b = run_eval(cfg_b, ssl_b, vox_b, st_b)
+
+    key = "3d.mAP_3d_moderate"
+    curve_a, curve_b = loss_curve(wd_a), loss_curve(wd_b)
+
+    def quartile_means(curve):
+        v = np.array([l for _, l in curve])
+        q = max(1, len(v) // 4)
+        return float(v[:q].mean()), float(v[-q:].mean())
+
+    # loss-decrease is judged on run A (pure supervised): run B's total
+    # loss is confounded by the SSL weight ramping IN over training
+    first_a, last_a = quartile_means(curve_a)
+    report = dict(
+        iters=args.iters,
+        loss_first_quartile=first_a, loss_last_quartile=last_a,
+        ap_init={k: v for k, v in ap_init.items() if "mAP" in k},
+        ap_labonly={k: v for k, v in ap_a.items() if "mAP" in k},
+        ap_ssl={k: v for k, v in ap_b.items() if "mAP" in k},
+        curve_labonly=curve_a, curve_ssl=curve_b,
+    )
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items()
+                      if not k.startswith("curve")}, indent=1),
+          flush=True)
+
+    init_m = ap_init[f"tea.{key}"]
+    a_m = max(ap_a[f"stu.{key}"], ap_a[f"tea.{key}"])
+    b_m = max(ap_b[f"stu.{key}"], ap_b[f"tea.{key}"])
+    print(f"3D mAP(mod): init {init_m:.2f} | labeled-only {a_m:.2f} | "
+          f"SSL {b_m:.2f}", flush=True)
+    ok = (last_a < first_a) and (b_m > init_m) and (b_m >= a_m)
+    if not args.keep:
+        shutil.rmtree(root, ignore_errors=True)
+    if not ok:
+        print("LEARNING CHECK FAILED", flush=True)
+        sys.exit(1)
+    print("LEARNING CHECK PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,50 @@ def assign(cost, row_valid, col_valid):
     col4row = jnp.where(ok, col4row, -1)
     matched_cost = jnp.where(ok, matched_cost, jnp.inf)
     return col4row, matched_cost
+
+
+def assign_batched(cost, row_valid, col_valid, impl=None):
+    """Batched :func:`assign` — same outputs, one batched solve.
+
+    ``jax.vmap(assign)`` has two problems on the hot path: ``lax.cond``
+    under vmap evaluates BOTH orientation branches (two full O(K^3)
+    solves per element), and the vmapped while-loops pay XLA dispatch
+    per inner step (~224 ms/iter at K=128, B=4 in the SSL step).  Here
+    the orientation is selected *before* a single batched solve, which
+    dispatches to the Pallas in-VMEM kernel on TPU
+    (``ops/pallas/hungarian.py``) and a vmapped XLA solve elsewhere.
+
+    Args:
+        cost: (B, K, K) float; row_valid/col_valid: (B, K) bool.
+    Returns:
+        (col4row (B, K) int32, matched_cost (B, K) float) — per-element
+        identical to :func:`assign`.
+    """
+    from ..ops.pallas.hungarian import solve_masked_batched
+
+    nr = jnp.sum(row_valid, axis=1)
+    nc = jnp.sum(col_valid, axis=1)
+    transposed = (nr > nc)[:, None]  # (B, 1)
+    c_rows = jnp.where(col_valid[:, None, :], cost, BIG)
+    c_cols = jnp.where(row_valid[:, None, :],
+                       jnp.swapaxes(cost, 1, 2), BIG)
+    c_eff = jnp.where(transposed[:, :, None], c_cols, c_rows)
+    rv_eff = jnp.where(transposed, col_valid, row_valid)
+    p = solve_masked_batched(c_eff, rv_eff, impl=impl)
+
+    def post(cost_b, rv_b, cv_b, p_b, tr_b):
+        K = cost_b.shape[0]
+        cols = jnp.arange(K, dtype=jnp.int32)
+        # rows_small orientation: p maps col -> row; scatter to col4row
+        # (out-of-bounds index K drops unmatched columns)
+        idx = jnp.where(p_b >= 0, p_b, K)
+        c4r_rows = jnp.full((K,), -1, jnp.int32).at[idx].set(cols)
+        col4row = jnp.where(tr_b, p_b, c4r_rows)
+        safe = jnp.clip(col4row, 0, K - 1)
+        mcost = jnp.take_along_axis(cost_b, safe[:, None], axis=1)[:, 0]
+        ok = (col4row >= 0) & rv_b & cv_b[safe]
+        return (jnp.where(ok, col4row, -1),
+                jnp.where(ok, mcost, jnp.inf))
+
+    return jax.vmap(post)(cost, row_valid, col_valid, p,
+                          transposed[:, 0])

@@ -122,7 +122,7 @@ def fusion_hungarian_matching(bs3d, bs2d, lidar2img, ori_shape,
     k2 = bs2d["boxes"].shape[1]
     kk = max(k3, k2)
 
-    def single(b3p, s3, v3, b2, s2, v2, shape):
+    def cost_single(b3p, s3, v3, b2, s2, v2, shape):
         eps = 1e-6
         l3 = jnp.log(jnp.clip(s3, eps, 1 - eps)
                      / (1 - jnp.clip(s3, eps, 1 - eps)))
@@ -142,7 +142,17 @@ def fusion_hungarian_matching(bs3d, bs2d, lidar2img, ori_shape,
         cost_sq = jax.lax.dynamic_update_slice(cost_sq, cost, (0, 0))
         rv = jnp.zeros((kk,), bool).at[:k3].set(v3)
         cv = jnp.zeros((kk,), bool).at[:k2].set(v2)
-        col4row, mcost = hungarian.assign(cost_sq, rv, cv)
+        return cost_sq, rv, cv
+
+    cost_sq, rv, cv = jax.vmap(cost_single)(
+        boxes3d_2d, bs3d["scores"], bs3d["valid"],
+        bs2d["boxes"], bs2d["scores"], bs2d["valid"], ori_shape)
+    # ONE batched solve for the whole image batch (Pallas in-VMEM JV on
+    # TPU) instead of a vmapped per-image lax.cond that runs both
+    # orientation branches through dispatch-bound XLA while loops
+    col4row_b, mcost_b = hungarian.assign_batched(cost_sq, rv, cv)
+
+    def post_single(col4row, mcost):
         col4row = col4row[:k3]
         mcost = mcost[:k3]
         if cost_thr is not None:
@@ -155,9 +165,7 @@ def fusion_hungarian_matching(bs3d, bs2d, lidar2img, ori_shape,
         cols = jnp.where(keep[order], col4row[order], 0).astype(jnp.int32)
         return rows, cols, keep[order], mcost[order]
 
-    rows, cols, ok, mcost = jax.vmap(single)(
-        boxes3d_2d, bs3d["scores"], bs3d["valid"],
-        bs2d["boxes"], bs2d["scores"], bs2d["valid"], ori_shape)
+    rows, cols, ok, mcost = jax.vmap(post_single)(col4row_b, mcost_b)
     out3d = boxset.gather(bs3d, rows, ok)
     out2d = boxset.gather(bs2d, cols, ok)
     return out3d, out2d, jnp.where(ok, mcost, jnp.inf)

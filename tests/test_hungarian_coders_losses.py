@@ -47,6 +47,49 @@ def test_hungarian_rectangular_masked(n, m):
     assert np.isinf(mcost[~row_valid]).all()
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_assign_batched_equals_assign(seed):
+    """assign_batched (one oriented solve) == vmapped assign (the
+    lax.cond both-branches formulation) element-for-element, across
+    mixed orientations/validity in one batch."""
+    rng = np.random.RandomState(seed)
+    B, K = 6, 12
+    cost = (rng.randn(B, K, K) * 3).astype(np.float32)
+    nr = rng.randint(0, K + 1, size=B)
+    nc = rng.randint(0, K + 1, size=B)
+    rv = np.arange(K)[None, :] < nr[:, None]
+    cv = np.arange(K)[None, :] < nc[:, None]
+    want_c, want_m = jax.device_get(jax.vmap(hungarian.assign)(
+        jnp.asarray(cost), jnp.asarray(rv), jnp.asarray(cv)))
+    got_c, got_m = jax.device_get(hungarian.assign_batched(
+        jnp.asarray(cost), jnp.asarray(rv), jnp.asarray(cv)))
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_array_equal(got_m, want_m)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_jv_kernel_matches_xla(seed):
+    """The in-VMEM Pallas JV kernel (interpret mode off-TPU) returns the
+    exact same matching vector as the XLA lax-loop solver, including
+    first-occurrence tie-breaks (duplicated cost rows force ties)."""
+    from detmatch_tpu.ops.pallas import hungarian as pl_hung
+
+    rng = np.random.RandomState(seed)
+    B, K = 3, 10
+    cost = (rng.randn(B, K, K) * 2).astype(np.float32)
+    cost[0, 4] = cost[0, 2]  # exact tie rows
+    nr = np.array([K, 5, 1])
+    rv = np.arange(K)[None, :] < nr[:, None]
+    nc = np.array([K, 7, 4])
+    cost = np.where(np.arange(K)[None, None, :] < nc[:, None, None],
+                    cost, hungarian.BIG).astype(np.float32)
+    want = jax.device_get(pl_hung.solve_masked_batched(
+        jnp.asarray(cost), jnp.asarray(rv), impl="xla"))
+    got = jax.device_get(pl_hung.solve_masked_batched(
+        jnp.asarray(cost), jnp.asarray(rv), impl="pallas"))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_residual_coder_roundtrip():
     rng = np.random.RandomState(0)
     anchors = np.concatenate(

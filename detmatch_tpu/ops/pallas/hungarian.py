@@ -15,8 +15,10 @@ one kernel body with the (B, K, K) cost matrix and all solver state
 resident in VMEM. The B problems advance in lockstep (a (B, K) VPU op
 costs barely more than a (1, K) one); per inner step the work is one
 masked (B, K, K) row-select reduction plus a handful of (B, K) selects
-and reductions, so the sequential latency collapses from ~32 µs to ~100
-VPU cycles per step.
+and reductions. Measured per-step cost in-kernel is ~4 µs (dominated by
+(B,1)→(B,K) lane-broadcast relayouts), ~8x cheaper than the XLA
+dispatch; end to end the two SSL-step solves drop 224 → ~10 ms
+(teacher phase 446 → 303 ms, stu3d heads 827 → 607 ms).
 
 Scatter-free formulation: TPU vector memory has no efficient
 lane-dynamic scatter, so every ``x.at[j].set`` of the XLA version becomes

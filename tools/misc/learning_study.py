@@ -50,19 +50,24 @@ jax = setup_jax()
 
 
 def make_data(root):
-    """lab(6) / unlab(24) / val(8) randomized scenes + info pkls."""
+    """lab(6) / unlab(24) / val(8) randomized scenes + info pkls.
+
+    Idempotent: pre-existing info pkls under ``root`` (a ``--data-root``
+    rerun after a crash) are reused as-is.
+    """
     from kitti_fixture import make_kitti_random
     from detmatch_tpu.data import kitti
 
     specs = dict(lab=(6, 0, 0), unlab=(24, 100, 200), val=(8, 500, 400))
     paths = {}
     for name, (n, seed, start) in specs.items():
-        split = make_kitti_random(root, n, seed=seed, split=name,
-                                  start_idx=start)
-        infos = kitti.create_infos(root, split, training=True)
         p = os.path.join(root, f"kitti_infos_{name}.pkl")
-        with open(p, "wb") as f:
-            pickle.dump(infos, f)
+        if not os.path.exists(p):
+            split = make_kitti_random(root, n, seed=seed, split=name,
+                                      start_idx=start)
+            infos = kitti.create_infos(root, split, training=True)
+            with open(p, "wb") as f:
+                pickle.dump(infos, f)
         paths[name] = p
     return paths
 
@@ -77,6 +82,24 @@ def build_cfg(root, paths, iters, ssl_weight, work_dir, seed):
         d[split]["dataset"]["ann_file"] = paths[key]
     d["val"]["data_root"] = root
     d["val"]["ann_file"] = paths["val"]
+    # --- make the toy task LEARNABLE (ssl_tiny is a compile-smoke
+    # config, not a learning config) ---
+    # 1. ssl_tiny's collate max_points=256 truncates the fixture clouds
+    #    (~2500 bg points first, object points appended last) down to
+    #    pure background: zero points remained inside any gt box.
+    cfg["data"]["collate"]["max_points"] = 4096
+    # 2. ssl_tiny's 0.5 m voxels give a 4x4 BEV anchor grid (4 m anchor
+    #    spacing) for 0.6-3.9 m objects: best anchor-gt IoU ~0, so only
+    #    force-matches train regression and decode never reaches IoU>0.
+    #    0.125 m voxels -> 16x16 BEV -> 1 m anchor spacing.
+    vs = [0.125, 0.125, 0.1]
+    pcr = cfg["point_cloud_range"]
+    cfg["voxelizer"] = dict(point_cloud_range=pcr, voxel_size=vs,
+                            max_voxels=4096, max_points=5)
+    m3 = cfg["model"]["detector_3d"]
+    m3["voxel_size"] = tuple(vs)
+    m3["grid_size"] = (128, 128, 40)
+    m3["num_keypoints"] = 64
     cfg["max_iters"] = iters
     cfg["batch_size"] = 2
     cfg["num_unlabeled_samples"] = 2
@@ -103,6 +126,15 @@ def run_training(cfg, seed=0):
     lab = build.build_dataset(cfg["data"]["train_lab"], rng=rng)
     unlab = build.build_dataset(cfg["data"]["train_unlab"], rng=rng)
     ck = dict(cfg["data"].get("collate", {}))
+    # Crash resilience: a prior run's checkpoint resumes (at
+    # step == max_iters the loop body runs zero times and returns the
+    # restored state), so a transient eval failure never re-trains.
+    from detmatch_tpu.train import checkpoints
+    ckpt_dir = os.path.join(cfg["work_dir"], "ckpt")
+    resume = ckpt_dir if checkpoints.latest_step(ckpt_dir) else None
+    if resume:
+        print(f"[train] resuming from {ckpt_dir} @ "
+              f"{checkpoints.latest_step(ckpt_dir)}", flush=True)
     # Explicit small LRs: train_ssl's batch-scaled defaults target
     # production batch sizes; at this toy scale they diverge (observed:
     # AdamW@0.03 blows the RPN logits to ~8e3 and the RCNN head
@@ -114,11 +146,11 @@ def run_training(cfg, seed=0):
         lr_3d=cfg.get("lr_3d", 1e-3), lr_2d=cfg.get("lr_2d", 5e-3),
         num_unlabeled=cfg["num_unlabeled_samples"], seed=seed,
         log_interval=cfg["log_interval"],
-        ckpt_interval=cfg["ckpt_interval"])
+        ckpt_interval=cfg["ckpt_interval"], resume_from=resume)
     return ssl, vox, jax.device_get(state)
 
 
-def run_eval(cfg, ssl, vox, state):
+def run_eval(cfg, ssl, vox, state, attempts=3):
     from detmatch_tpu.apis import build
     from detmatch_tpu.apis.evaluate import eval_ssl
     from detmatch_tpu.data.collate import collate_view
@@ -126,8 +158,17 @@ def run_eval(cfg, ssl, vox, state):
     val = build.build_dataset(cfg["data"]["val"],
                               rng=np.random.RandomState(0))
     ck = dict(cfg["data"].get("collate", {}))
-    return eval_ssl(ssl, state, val, lambda s: collate_view(s, **ck),
-                    vox)
+    for a in range(attempts):
+        try:
+            return eval_ssl(ssl, state, val,
+                            lambda s: collate_view(s, **ck), vox)
+        except jax.errors.JaxRuntimeError as e:
+            # the remote-compile tunnel occasionally drops mid-read;
+            # the computation is pure, so retrying is safe
+            if a == attempts - 1:
+                raise
+            print(f"[eval] transient backend failure (attempt {a + 1}):"
+                  f" {e}; retrying", flush=True)
 
 
 def init_state(cfg, seed=0):
@@ -167,9 +208,17 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         REPO, "docs", "learning_study.json"))
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--data-root", default=None,
+                    help="reuse an existing study tree (data + "
+                         "checkpoints) from a crashed run; implies "
+                         "--keep")
     args = ap.parse_args()
 
-    root = tempfile.mkdtemp(prefix="learn_kitti_") + "/"
+    if args.data_root:
+        root = args.data_root.rstrip("/") + "/"
+        args.keep = True
+    else:
+        root = tempfile.mkdtemp(prefix="learn_kitti_") + "/"
     print(f"[data] generating under {root}", flush=True)
     paths = make_data(root)
 

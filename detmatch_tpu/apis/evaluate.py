@@ -37,10 +37,17 @@ def _gt_annos_from_dataset(ds: kitti.KittiDataset):
 
 
 def eval_pvrcnn(model: PVRCNN, variables, ds, collate_fn, vox_spec,
-                batch_size=2, max_dets=100):
-    """3D eval: inference + post-processing + AP (bbox from projection)."""
+                batch_size=2, max_dets=100, score_thresh=0.1):
+    """3D eval: inference + post-processing + AP (bbox from projection).
+
+    ``score_thresh`` is the pre-NMS confidence floor (reference default
+    0.1, ``detector3d_template.py:176-309``); AP sweeps thresholds over
+    the surviving detections, so a hard floor above the model's score
+    range truncates the PR curve to AP=0 — pass a low value when
+    evaluating small/early-training models (e.g. the learning study).
+    """
     jfwd = jax.jit(lambda b: post_processing(
-        model.apply(variables, b, train=False)))
+        model.apply(variables, b, train=False), score_thresh=score_thresh))
     det_annos = []
     for batch_np, true in epoch_batches(ds, batch_size, collate_fn):
         batch = jax.tree.map(jnp.asarray, batch_np)
@@ -66,10 +73,12 @@ def eval_pvrcnn(model: PVRCNN, variables, ds, collate_fn, vox_spec,
 
 
 def eval_frcnn(model: FasterRCNN, variables, ds, collate_fn,
-               batch_size=2):
-    """2D eval: simple_test + bbox AP."""
+               batch_size=2, score_thr=0.05):
+    """2D eval: simple_test + bbox AP. ``score_thr`` as in
+    :func:`eval_pvrcnn` (mmdet simple-test default 0.05)."""
     jfwd = jax.jit(lambda img, shp: model.apply(
-        variables, img, shp, method=FasterRCNN.simple_test))
+        variables, img, shp, score_thr=score_thr,
+        method=FasterRCNN.simple_test))
     det_annos = []
     for batch_np, true in epoch_batches(ds, batch_size, collate_fn):
         res = jax.device_get(jfwd(jnp.asarray(batch_np["img"]),
@@ -88,16 +97,24 @@ def eval_frcnn(model: FasterRCNN, variables, ds, collate_fn,
     return res, det_annos
 
 
-def eval_ssl(ssl, state, ds, collate_fn, vox_spec, batch_size=2):
+def eval_ssl(ssl, state, ds, collate_fn, vox_spec, batch_size=2,
+             score_thresh_3d=0.1, score_thr_2d=0.05):
     """SSL fanout: {tea, stu} × {3d, 2d} prefixed metrics
-    (reference ``kitti_dataset.py:320-372``)."""
+    (reference ``kitti_dataset.py:320-372``). Also reports
+    ``<branch>.<dim>.num_dets`` (mean detections/image) so an AP=0
+    result is diagnosable (no detections vs. bad localization)."""
     out: Dict[str, float] = {}
     for branch in ("teacher", "student"):
         v3 = state[branch]["det3d"]
-        res3, _ = eval_pvrcnn(ssl.pvrcnn, v3, ds, collate_fn, vox_spec,
-                              batch_size)
+        res3, det3 = eval_pvrcnn(ssl.pvrcnn, v3, ds, collate_fn, vox_spec,
+                                 batch_size, score_thresh=score_thresh_3d)
         out.update({f"{branch[:3]}.3d.{k}": v for k, v in res3.items()})
+        out[f"{branch[:3]}.3d.num_dets"] = float(
+            np.mean([len(d["scores"]) for d in det3]))
         v2 = state[branch]["det2d"]
-        res2, _ = eval_frcnn(ssl.frcnn, v2, ds, collate_fn, batch_size)
+        res2, det2 = eval_frcnn(ssl.frcnn, v2, ds, collate_fn, batch_size,
+                                score_thr=score_thr_2d)
         out.update({f"{branch[:3]}.2d.{k}": v for k, v in res2.items()})
+        out[f"{branch[:3]}.2d.num_dets"] = float(
+            np.mean([len(d["scores"]) for d in det2]))
     return out

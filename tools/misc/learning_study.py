@@ -160,8 +160,14 @@ def run_eval(cfg, ssl, vox, state, attempts=3):
     ck = dict(cfg["data"].get("collate", {}))
     for a in range(attempts):
         try:
+            # low score floors: AP sweeps thresholds, and a tiny-config
+            # model's calibrated scores can sit below the production 0.1
+            # floor — which truncates the PR curve to a hard AP=0 (the
+            # exact failure the 600-iter round-3 study hit: loss 8.9→1.3
+            # but every AP 0.0 because no detection cleared the floor)
             return eval_ssl(ssl, state, val,
-                            lambda s: collate_view(s, **ck), vox)
+                            lambda s: collate_view(s, **ck), vox,
+                            score_thresh_3d=0.01, score_thr_2d=0.01)
         except jax.errors.JaxRuntimeError as e:
             # the remote-compile tunnel occasionally drops mid-read;
             # the computation is pure, so retrying is safe
@@ -253,9 +259,9 @@ def main():
     report = dict(
         iters=args.iters,
         loss_first_quartile=first_a, loss_last_quartile=last_a,
-        ap_init={k: v for k, v in ap_init.items() if "mAP" in k},
-        ap_labonly={k: v for k, v in ap_a.items() if "mAP" in k},
-        ap_ssl={k: v for k, v in ap_b.items() if "mAP" in k},
+        ap_init={k: v for k, v in ap_init.items() if "mAP" in k or "num_dets" in k},
+        ap_labonly={k: v for k, v in ap_a.items() if "mAP" in k or "num_dets" in k},
+        ap_ssl={k: v for k, v in ap_b.items() if "mAP" in k or "num_dets" in k},
         curve_labonly=curve_a, curve_ssl=curve_b,
     )
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("checkpoint")
     ap.add_argument("--eval", default="kitti")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--score-thr", type=float, default=None,
+                    help="pre-NMS confidence floor override for both "
+                         "branches (defaults: 0.1 3D / 0.05 2D)")
     args = ap.parse_args()
 
     from detmatch_tpu.apis import build
@@ -56,7 +59,11 @@ def main():
                                 v["lab"]["stu"]["img_shape"])
         payload = checkpoints.restore(args.checkpoint, step,
                                       dict(state=state, opt_state=None))
-        res = eval_ssl(ssl, payload["state"], ds, collate_fn, vox)
+        kw = {}
+        if args.score_thr is not None:
+            kw = dict(score_thresh_3d=args.score_thr,
+                      score_thr_2d=args.score_thr)
+        res = eval_ssl(ssl, payload["state"], ds, collate_fn, vox, **kw)
     elif task == "pretrain_3d":
         from detmatch_tpu.models.pvrcnn.pvrcnn import PVRCNN
         model = PVRCNN(**cfg["model"]["detector_3d"])
@@ -64,13 +71,19 @@ def main():
         import jax
         payload = checkpoints.restore(args.checkpoint, step,
                                       dict(model=None))
-        res, _ = eval_pvrcnn(model, payload["model"], ds, collate_fn, vox)
+        kw = ({} if args.score_thr is None
+              else dict(score_thresh=args.score_thr))
+        res, _ = eval_pvrcnn(model, payload["model"], ds, collate_fn,
+                             vox, **kw)
     else:
         from detmatch_tpu.models.frcnn.faster_rcnn import FasterRCNN
         model = FasterRCNN(**cfg["model"]["detector_2d"])
         payload = checkpoints.restore(args.checkpoint, step,
                                       dict(model=None))
-        res, _ = eval_frcnn(model, payload["model"], ds, collate_fn)
+        kw = ({} if args.score_thr is None
+              else dict(score_thr=args.score_thr))
+        res, _ = eval_frcnn(model, payload["model"], ds, collate_fn,
+                            **kw)
 
     for k in sorted(res):
         print(f"{k}: {res[k]:.4f}")

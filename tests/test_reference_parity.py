@@ -80,6 +80,65 @@ def ref_eval():
     return _load_as("ref_kitti_eval", REF_EVAL)
 
 
+@functools.lru_cache()
+def ref_rotate_iou():
+    """Load the reference rotated-IoU kernel
+    (``mmdet3d/core/evaluation/kitti_utils/rotate_iou.py``) in pure
+    python: ``numba.cuda`` decorators become identity, ``local/shared
+    .array`` become numpy buffers. The per-pair device function
+    ``devRotateIoUEval`` then runs as ordinary float32 numpy code —
+    decision-for-decision the reference math."""
+    ref_eval()  # installs/reuses the fake top-level numba module
+    fake = sys.modules["numba"]
+    if not hasattr(fake, "cuda"):
+        cuda = types.ModuleType("numba.cuda")
+
+        def _jit(*a, **k):
+            if a and callable(a[0]):
+                return a[0]
+            return lambda f: f
+
+        class _Mem:
+            @staticmethod
+            def array(shape, dtype=None):
+                return np.zeros(shape, np.float32)
+
+        cuda.jit = _jit
+        cuda.local = _Mem
+        cuda.shared = _Mem
+        cuda.syncthreads = staticmethod(lambda: None)
+        fake.cuda = cuda
+        fake.float32 = np.float32
+        sys.modules["numba.cuda"] = cuda
+    return _load_as(
+        "ref_rotate_iou",
+        "/root/reference/mmdet3d/core/evaluation/kitti_utils/"
+        "rotate_iou.py")
+
+
+def _ref_rotate_iou_matrix(boxes, qboxes, criterion=-1):
+    """Pairwise reference rotated IoU/overlap via the pure-python
+    ``devRotateIoUEval`` (what ``rotate_iou_gpu_eval`` computes per
+    thread, ``rotate_iou.py:253-330``)."""
+    mod = ref_rotate_iou()
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    qboxes = np.ascontiguousarray(qboxes, np.float32)
+    out = np.zeros((len(boxes), len(qboxes)), np.float32)
+    ok = np.ones(out.shape, bool)
+    for i, b in enumerate(boxes):
+        for j, q in enumerate(qboxes):
+            try:
+                out[i, j] = mod.devRotateIoUEval(b.copy(), q.copy(),
+                                                 criterion)
+            except IndexError:
+                # reference buffer overflow: exactly-coincident corners
+                # yield >16 intersection candidates, overflowing the
+                # kernel's local array (rotate_iou.py:181-201) — UB in
+                # the CUDA original; such pairs are uncomparable
+                ok[i, j] = False
+    return out, ok
+
+
 def _t(x):
     return torch.from_numpy(np.asarray(x)).float()
 
@@ -202,6 +261,93 @@ def test_limit_period_parity():
             vals.copy(), offset, period)
         my = np.asarray(limit_period(vals, offset, period))
         np.testing.assert_allclose(my, ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Rotated-IoU kernel golden parity (reference rotate_iou.py:253-330)
+# ---------------------------------------------------------------------------
+# The eval-pipeline test below shares this repo's overlap matrices between
+# the two AP pipelines, so it can NOT catch a bug in core/iou.py itself.
+# These tests A/B the overlap kernel directly against the reference's
+# devRotateIoUEval math run in pure python. Convention bridge: the
+# reference rotates corners clockwise for positive angle
+# (``rbbox_to_corners``, rotate_iou.py:218-243) while this repo's
+# ``boxes_to_corners_bev`` rotates counter-clockwise — the same point set
+# is obtained by negating the angle.
+
+
+def _adversarial_bev_pairs():
+    """(boxes, qboxes) hitting degenerate/tangent branches."""
+    b = np.array([
+        [0.0, 0.0, 4.0, 2.0, 0.0],       # axis-aligned base
+        [0.0, 0.0, 4.0, 2.0, 0.0],       # identical → IoU 1
+        [4.0, 0.0, 4.0, 2.0, 0.0],       # edge-tangent → IoU 0
+        [3.0, 0.0, 4.0, 2.0, 0.0],       # partial overlap, parallel edges
+        [0.0, 0.0, 1.0, 0.6, 0.0],       # fully contained
+        [0.0, 0.0, 4.0, 2.0, np.pi / 4],  # same center, rotated 45°
+        [0.0, 0.0, 4.0, 2.0, np.pi / 2],  # rotated 90°
+        [0.0, 0.0, 4.0, 2.0, np.pi],     # rotated 180° → identical shape
+        [0.5, 0.3, 6.0, 0.5, 0.17],      # thin sliver
+        [4.0, 2.0, 4.0, 2.0, 0.0],       # corner-tangent
+        [10.0, 10.0, 2.0, 2.0, 1.1],     # disjoint
+        [0.0, 0.0, 4.0, 2.0, -np.pi / 3],  # negative angle
+    ], np.float32)
+    return b, b.copy()
+
+
+def test_rotated_iou_bev_golden_parity():
+    import jax.numpy as jnp
+    from detmatch_tpu.core import iou as iou_mod
+
+    rng = np.random.RandomState(3)
+    n, m = 40, 30
+    boxes = np.stack([
+        rng.rand(n) * 60 - 10, rng.rand(n) * 40 - 20,
+        rng.rand(n) * 4 + 0.5, rng.rand(n) * 2.5 + 0.5,
+        rng.rand(n) * 4 * np.pi - 2 * np.pi], 1).astype(np.float32)
+    qboxes = np.stack([
+        rng.rand(m) * 60 - 10, rng.rand(m) * 40 - 20,
+        rng.rand(m) * 4 + 0.5, rng.rand(m) * 2.5 + 0.5,
+        rng.rand(m) * 4 * np.pi - 2 * np.pi], 1).astype(np.float32)
+    # densify overlaps: make a third of qboxes jittered copies of boxes
+    qboxes[:m // 3] = boxes[:m // 3] + rng.randn(m // 3, 5).astype(
+        np.float32) * np.array([0.4, 0.4, 0.2, 0.2, 0.2], np.float32)
+
+    ref, ok = _ref_rotate_iou_matrix(boxes, qboxes, criterion=-1)
+    assert ok.all()  # random pairs never hit the reference overflow
+    neg = np.array([1, 1, 1, 1, -1], np.float32)
+    mine = np.asarray(iou_mod.rotated_iou_bev(
+        jnp.asarray(boxes * neg), jnp.asarray(qboxes * neg)))
+    np.testing.assert_allclose(mine, ref, atol=1e-4)
+
+    # raw intersection areas (criterion=2 → the `else` branch returns
+    # area_inter; what d3_box_overlap consumes, eval.py:121-160)
+    ref_inter, _ = _ref_rotate_iou_matrix(boxes, qboxes, criterion=2)
+    mine_inter = np.asarray(iou_mod.rotated_overlap_bev(
+        jnp.asarray(boxes * neg), jnp.asarray(qboxes * neg)))
+    np.testing.assert_allclose(mine_inter, ref_inter, atol=2e-4)
+
+
+def test_rotated_iou_bev_degenerate_parity():
+    import jax.numpy as jnp
+    from detmatch_tpu.core import iou as iou_mod
+
+    boxes, qboxes = _adversarial_bev_pairs()
+    ref, ok = _ref_rotate_iou_matrix(boxes, qboxes, criterion=-1)
+    neg = np.array([1, 1, 1, 1, -1], np.float32)
+    mine = np.asarray(iou_mod.rotated_iou_bev(
+        jnp.asarray(boxes * neg), jnp.asarray(qboxes * neg)))
+    # Exactly-coincident boxes are the reference kernel's blind spot:
+    # duplicate corners either overflow its 16-slot intersection buffer
+    # (`ok` False — CUDA UB) or NaN its center-normalized vertex sort
+    # (rotate_iou.py:47-50), returning 0 or 1/3 for identical rotated
+    # boxes. Exclude exact duplicates from the A/B and assert the
+    # mathematically exact answer (IoU 1) on this repo's side instead.
+    dup = (boxes[:, None, :] == qboxes[None, :, :]).all(-1)
+    cmp = ok & ~dup
+    assert cmp.sum() >= cmp.size - 20, cmp.sum()
+    np.testing.assert_allclose(mine[cmp], ref[cmp], atol=1e-4)
+    np.testing.assert_allclose(mine[dup], 1.0, atol=1e-4)
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ sigmoid scores over C+1 channels → multiclass NMS keeping full score rows.
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 import jax
@@ -36,10 +36,15 @@ class FasterRCNN(nn.Module):
     # bf16 compute in backbone/FPN/RPN convs and RoI-head FCs (params,
     # FrozenBN constants, logits, losses, box math stay f32)
     compute_dtype: Any = None
+    # ResNet50 overrides (stage_blocks, frozen_stages). Production uses
+    # the reference depth (3,4,6,3); tiny/dryrun configs shrink it —
+    # XLA-CPU compile time of the fwd+bwd graph scales with block count.
+    backbone_cfg: Dict = None
 
     def setup(self):
         self.backbone = ResNet50(name="backbone",
-                                 dtype=self.compute_dtype)
+                                 dtype=self.compute_dtype,
+                                 **(self.backbone_cfg or {}))
         self.neck = FPN(name="neck", dtype=self.compute_dtype)
         self.rpn_head = RPNHead(name="rpn_head",
                                 dtype=self.compute_dtype)

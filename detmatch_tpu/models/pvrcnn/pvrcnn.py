@@ -66,14 +66,22 @@ class PVRCNN(nn.Module):
     # the RoI head here — its grouped-gather backward (scatter-add of
     # roi_per_image*G^3*nsample rows) dominates small-host runtimes.
     roi_head_cfg: Dict = None
+    # VoxelBackbone8x overrides (channels, out_channels) and
+    # BaseBEVBackbone overrides (layer_nums, num_filters, ...) for
+    # tiny/dryrun configs — XLA-CPU compile time of the fwd+bwd graph
+    # scales with layer count. Production uses the reference defaults.
+    backbone3d_cfg: Dict = None
+    bev_cfg: Dict = None
 
     def setup(self):
         Z = self.grid_size[2] + 1
         self.backbone3d = VoxelBackbone8x(
             spatial_shape=(Z, self.grid_size[1], self.grid_size[0]),
-            caps=self.backbone_caps, name="backbone3d")
+            caps=self.backbone_caps, name="backbone3d",
+            **(self.backbone3d_cfg or {}))
         self.bev_backbone = BaseBEVBackbone(name="backbone2d",
-                                            dtype=self.compute_dtype)
+                                            dtype=self.compute_dtype,
+                                            **(self.bev_cfg or {}))
         self.anchor_head = AnchorHeadSingle(
             num_classes=self.num_classes,
             point_cloud_range=self.point_cloud_range,

@@ -149,16 +149,45 @@ def skip_nonfinite(inner: optax.GradientTransformation):
     return optax.GradientTransformation(init, update)
 
 
+def flatten_optimizer(inner: optax.GradientTransformation):
+    """Run ``inner`` on ONE raveled vector instead of the param pytree.
+
+    Exact for any transform whose math is uniform across parameters
+    (AdamW / SGD-momentum / global-norm clip / the non-finite skip — all
+    element-wise except the global norm, which is the same sum either
+    way). Purpose: the per-leaf formulation emits ~6 HLO ops × hundreds
+    of leaves, which dominates XLA-CPU compile time of the train step
+    (measured: the split SSL stu3d program compiles in 70 s with a flat
+    optimizer vs 192 s with the per-leaf chain) and costs kernel-launch
+    overhead on TPU; the flat formulation is a handful of fused
+    full-vector ops regardless of model depth.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return inner.init(flat)
+
+    def update(grads, state, params=None, **kw):
+        gflat, unravel = ravel_pytree(grads)
+        pflat = ravel_pytree(params)[0] if params is not None else None
+        uflat, new_state = inner.update(gflat, state, pflat, **kw)
+        return unravel(uflat), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def detmatch_branch_optimizers(lr_3d, lr_2d, clip_norm=10.0):
     """Per-branch optimizers for the split SSL step: AdamW for det3d,
     SGD-momentum for det2d (the reference HybridOptimizer's two groups),
-    each guarded by the NaN/inf-grad skip."""
-    tx3d = skip_nonfinite(optax.chain(
+    each guarded by the NaN/inf-grad skip and run flat (see
+    :func:`flatten_optimizer`)."""
+    tx3d = flatten_optimizer(skip_nonfinite(optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        adamw(warmup_step_lr(lr_3d))))
-    tx2d = skip_nonfinite(optax.chain(
+        adamw(warmup_step_lr(lr_3d)))))
+    tx2d = flatten_optimizer(skip_nonfinite(optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        sgd_momentum(warmup_step_lr(lr_2d))))
+        sgd_momentum(warmup_step_lr(lr_2d)))))
     return tx3d, tx2d
 
 

@@ -24,6 +24,12 @@ TINY_PV_CFG = dict(
     backbone_caps=(384, 384, 256, 256),
     train_nms=dict(nms_pre=128, nms_post=24, nms_thresh=0.8),
     test_nms=dict(nms_pre=128, nms_post=12, nms_thresh=0.7),
+    # shallow/narrow backbones: the dryrun budget is XLA-CPU *compile*
+    # time, which scales with op count (layer count), not tensor sizes —
+    # the production depths live only in the production configs
+    backbone3d_cfg=dict(channels=(8, 8, 16, 16, 16), out_channels=32),
+    bev_cfg=dict(layer_nums=(1, 1), num_filters=(32, 64),
+                 num_upsample_filters=(32, 32)),
     # shrink the RoI head with the rest of the model: at the production
     # 128 rois x 6^3 grid x 16 samples the grouped-gather backward is a
     # ~30M-element scatter-add, which dominates single-core CPU hosts
@@ -36,7 +42,10 @@ TINY_PV_CFG = dict(
                         cls_bg_thresh_lo=0.1, hard_bg_ratio=0.8)))
 TINY_FR_CFG = dict(canvas=TINY_CANVAS, train_rpn_nms_pre=96,
                    train_rpn_max=48, test_rpn_nms_pre=96, test_rpn_max=24,
-                   rcnn_num_samples=24)
+                   rcnn_num_samples=24,
+                   # 4 bottlenecks instead of 16 (same stage/stride
+                   # structure, same FPN wiring) — see backbone3d_cfg note
+                   backbone_cfg=dict(stage_blocks=(1, 1, 1, 1)))
 TINY_SPEC = voxelize.VoxelizerSpec(point_cloud_range=TINY_PCR,
                                    voxel_size=(0.5, 0.5, 0.1),
                                    max_voxels=384, max_points=5)

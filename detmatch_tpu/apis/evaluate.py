@@ -6,6 +6,7 @@ over {teacher, student} × {2d, 3d} with prefixed keys.
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional
 
 import numpy as np
@@ -32,7 +33,8 @@ def _gt_annos_from_dataset(ds: kitti.KittiDataset):
         boxes_full[:len(boxes)] = boxes  # DontCare rows (excluded) zeroed
         out.append(dict(name=annos["name"], bbox=annos["bbox"],
                         occluded=annos["occluded"],
-                        truncated=annos["truncated"], boxes3d=boxes_full))
+                        truncated=annos["truncated"],
+                        alpha=annos["alpha"], boxes3d=boxes_full))
     return out
 
 
@@ -62,14 +64,36 @@ def eval_pvrcnn(model: PVRCNN, variables, ds, collate_fn, vox_spec,
             bb2d, ok = geometry.boxes_3d_to_2d(
                 boxes, batch_np["lidar2img"][i],
                 img_shape=batch_np["ori_shape"][i])
+            calib = kitti.calib_from_info(ds.infos[len(det_annos)])
+            cam = np.asarray(geometry.boxes_lidar_to_camera(
+                boxes, calib.lidar_to_rect)) if len(boxes) else \
+                np.zeros((0, 7), np.float32)
+            # observation angle (reference bbox2result_kitti,
+            # kitti_dataset.py:500-501)
+            alpha = (-np.arctan2(-boxes[:, 1], boxes[:, 0]) + cam[:, 6]
+                     ).astype(np.float32)
             det_annos.append(dict(
                 labels=(post["labels"][i][v][:max_dets] - 1
                         ).astype(np.int32),
                 scores=post["scores"][i][v][:max_dets],
-                bbox=np.asarray(bb2d), boxes3d=boxes))
+                bbox=np.asarray(bb2d), boxes3d=boxes, alpha=alpha))
     gt_annos = _gt_annos_from_dataset(ds)
-    res = kitti_eval(gt_annos, det_annos, metrics=("bev", "3d"))
+    _warn_if_no_dets(det_annos, "3d", score_thresh)
+    res = kitti_eval(gt_annos, det_annos, metrics=("bbox", "bev", "3d"),
+                     compute_aos=True)
     return res, det_annos
+
+
+def _warn_if_no_dets(det_annos, tag, floor):
+    """Self-report the score-floor trap: a floor above the model's score
+    range hard-zeroes AP by truncating the PR curve (the failure mode of
+    the round-3 learning study); make it diagnosable at the source."""
+    if det_annos and not any(len(d["scores"]) for d in det_annos):
+        logging.warning(
+            "eval[%s]: ZERO detections survived the score floor %.3g on "
+            "all %d images — AP will be exactly 0. If the model is weak/"
+            "early-training, lower the floor (score_thresh/score_thr).",
+            tag, floor, len(det_annos))
 
 
 def eval_frcnn(model: FasterRCNN, variables, ds, collate_fn,
@@ -93,17 +117,21 @@ def eval_frcnn(model: FasterRCNN, variables, ds, collate_fn,
                 bbox=res["boxes"][i][v] / sf[None],
                 boxes3d=np.zeros((int(v.sum()), 7), np.float32)))
     gt_annos = _gt_annos_from_dataset(ds)
+    _warn_if_no_dets(det_annos, "2d", score_thr)
     res = kitti_eval(gt_annos, det_annos, metrics=("bbox",))
     return res, det_annos
 
 
 def eval_ssl(ssl, state, ds, collate_fn, vox_spec, batch_size=2,
-             score_thresh_3d=0.1, score_thr_2d=0.05):
+             score_thresh_3d=0.1, score_thr_2d=0.05, return_dets=False):
     """SSL fanout: {tea, stu} × {3d, 2d} prefixed metrics
     (reference ``kitti_dataset.py:320-372``). Also reports
     ``<branch>.<dim>.num_dets`` (mean detections/image) so an AP=0
-    result is diagnosable (no detections vs. bad localization)."""
+    result is diagnosable (no detections vs. bad localization).
+    With ``return_dets`` also returns {'tea.3d': [...], ...} raw per-image
+    det annos (for the KITTI submission writer)."""
     out: Dict[str, float] = {}
+    dets: Dict[str, list] = {}
     for branch in ("teacher", "student"):
         v3 = state[branch]["det3d"]
         res3, det3 = eval_pvrcnn(ssl.pvrcnn, v3, ds, collate_fn, vox_spec,
@@ -111,10 +139,12 @@ def eval_ssl(ssl, state, ds, collate_fn, vox_spec, batch_size=2,
         out.update({f"{branch[:3]}.3d.{k}": v for k, v in res3.items()})
         out[f"{branch[:3]}.3d.num_dets"] = float(
             np.mean([len(d["scores"]) for d in det3]))
+        dets[f"{branch[:3]}.3d"] = det3
         v2 = state[branch]["det2d"]
         res2, det2 = eval_frcnn(ssl.frcnn, v2, ds, collate_fn, batch_size,
                                 score_thr=score_thr_2d)
         out.update({f"{branch[:3]}.2d.{k}": v for k, v in res2.items()})
         out[f"{branch[:3]}.2d.num_dets"] = float(
             np.mean([len(d["scores"]) for d in det2]))
-    return out
+        dets[f"{branch[:3]}.2d"] = det2
+    return (out, dets) if return_dets else out

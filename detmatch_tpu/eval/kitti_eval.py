@@ -95,9 +95,12 @@ def get_thresholds(scores, num_gt):
 
 
 def _statistics(overlaps, dc_iof, scores, gt_ignored, det_ignored,
-                min_overlap, thresh, compute_fp):
+                min_overlap, thresh, compute_fp,
+                gt_alphas=None, dt_alphas=None):
     """Devkit per-image matching (reference compute_statistics_jit,
-    eval.py:161). overlaps: (n_det, n_gt)."""
+    eval.py:161). overlaps: (n_det, n_gt). When alphas are given, also
+    accumulates TP orientation similarity (1+cos(gt_a - dt_a))/2 — the
+    AOS numerator (eval.py:240-276; FPs contribute 0)."""
     n_gt = len(gt_ignored)
     n_det = len(det_ignored)
     ignored_threshold = np.zeros(n_det, bool)
@@ -105,6 +108,7 @@ def _statistics(overlaps, dc_iof, scores, gt_ignored, det_ignored,
         ignored_threshold = scores < thresh
     assigned = np.zeros(n_det, bool)
     tp = fp = fn = 0
+    sim = 0.0
     tp_scores = []
     for i in range(n_gt):
         if gt_ignored[i] == -1:
@@ -143,6 +147,9 @@ def _statistics(overlaps, dc_iof, scores, gt_ignored, det_ignored,
         elif valid_det != -10e9:
             tp += 1
             tp_scores.append(scores[det_idx])
+            if gt_alphas is not None and dt_alphas is not None:
+                sim += (1.0 + np.cos(float(gt_alphas[i])
+                                     - float(dt_alphas[det_idx]))) / 2.0
             assigned[det_idx] = True
     if compute_fp:
         for j in range(n_det):
@@ -161,7 +168,7 @@ def _statistics(overlaps, dc_iof, scores, gt_ignored, det_ignored,
                     nstuff += 1
                     assigned[j] = True
         fp -= nstuff
-    return tp, fp, fn, tp_scores
+    return tp, fp, fn, sim, tp_scores
 
 
 def _iou2d_np(a, b, iof=False):
@@ -250,7 +257,7 @@ def precompute_overlaps(gt_annos, det_annos, metric, chunk=512):
 
 
 def eval_class(gt_annos, det_annos, cls, difficulty, metric,
-               overlaps=None, min_overlap=None):
+               overlaps=None, min_overlap=None, compute_aos=False):
     """AP_R40 for one (class, difficulty, metric). Annos are per-image:
 
     gt: dict(name, bbox (N,4), occluded, truncated, boxes3d (N,7) internal)
@@ -260,11 +267,18 @@ def eval_class(gt_annos, det_annos, cls, difficulty, metric,
     min_overlap: TP IoU threshold; defaults to the official KITTI
         per-class value (``MIN_OVERLAP``). Explicit values drive the
         coco-style IoU sweep (:func:`kitti_eval_coco_style`).
+    compute_aos: also compute average orientation similarity (bbox
+        metric only; reference ``eval.py:250-275`` — per-threshold TP
+        similarity / (tp+fp), right-max smoothed, R40-averaged).
+        Requires ``alpha`` in both anno dicts. Returns ``(ap, aos)``.
     """
     from .. import native
     lib = native.get_lib()
     if min_overlap is None:
         min_overlap = MIN_OVERLAP[cls]
+
+    if compute_aos:
+        assert metric == "bbox", "AOS is defined on the bbox metric"
 
     n_img = len(gt_annos)
     per_img = []
@@ -277,66 +291,96 @@ def eval_class(gt_annos, det_annos, cls, difficulty, metric,
               else _overlap_matrix(det, gt, metric))
         dc_iof = _iou2d_np(det["bbox"], dc, iof=True) if metric == "bbox" \
             else (_iou2d_np(det["bbox"], dc, iof=True) if len(dc) else None)
-        per_img.append((ov, dc_iof, det["scores"], gt_ign, det_ign))
+        alphas = ((np.asarray(gt["alpha"], np.float32),
+                   np.asarray(det["alpha"], np.float32))
+                  if compute_aos else (None, None))
+        per_img.append((ov, dc_iof, det["scores"], gt_ign, det_ign,
+                        alphas))
         total_gt += int((gt_ign == 0).sum())
         if lib is not None:
             all_tp_scores.extend(native.gather_tp_scores(
                 ov, det["scores"], gt_ign, det_ign, min_overlap))
         else:
-            _, _, _, tps = _statistics(ov, None, det["scores"], gt_ign,
-                                       det_ign, min_overlap, 0.0,
-                                       False)
+            _, _, _, _, tps = _statistics(ov, None, det["scores"],
+                                          gt_ign, det_ign, min_overlap,
+                                          0.0, False)
             all_tp_scores.extend(tps)
     if total_gt == 0:
-        return 0.0
+        return (0.0, 0.0) if compute_aos else 0.0
     thresholds = get_thresholds(np.array(all_tp_scores), total_gt)
     if len(thresholds) == 0:
-        return 0.0
+        return (0.0, 0.0) if compute_aos else 0.0
     precision = np.zeros(N_SAMPLE_PTS, np.float64)
     tps = np.zeros(len(thresholds), np.int64)
     fps = np.zeros(len(thresholds), np.int64)
     fns = np.zeros(len(thresholds), np.int64)
-    for (ov, dc_iof, scores, gt_ign, det_ign) in per_img:
+    sims = np.zeros(len(thresholds), np.float64)
+    thr32 = np.asarray(thresholds, np.float32)
+    for (ov, dc_iof, scores, gt_ign, det_ign, alphas) in per_img:
+        dc = dc_iof if metric == "bbox" else None
+        if lib is not None and compute_aos:
+            native.sweep_thresholds_aos(
+                ov, dc, scores, gt_ign, det_ign, alphas[0], alphas[1],
+                min_overlap, thr32, tps, fps, fns, sims)
+            continue
         if lib is not None:
-            native.sweep_thresholds(
-                ov, dc_iof if metric == "bbox" else None, scores, gt_ign,
-                det_ign, min_overlap,
-                np.asarray(thresholds, np.float32), tps, fps, fns)
+            native.sweep_thresholds(ov, dc, scores, gt_ign, det_ign,
+                                    min_overlap, thr32, tps, fps, fns)
             continue
         for t, thr in enumerate(thresholds):
-            tp, fp, fn, _ = _statistics(
-                ov, dc_iof if metric == "bbox" else None, scores, gt_ign,
-                det_ign, min_overlap, thr, True)
+            tp, fp, fn, sim, _ = _statistics(
+                ov, dc, scores, gt_ign, det_ign, min_overlap, thr, True,
+                gt_alphas=alphas[0], dt_alphas=alphas[1])
             tps[t] += tp
             fps[t] += fp
             fns[t] += fn
-    prec = tps / np.maximum(tps + fps, 1.0)
+            sims[t] += sim
+    denom = np.maximum(tps + fps, 1.0)
+    prec = tps / denom
+    aos_curve = sims / denom
     # right-max smoothing
     for i in range(len(thresholds)):
         prec[i] = prec[i:].max()
+        aos_curve[i] = aos_curve[i:].max()
     precision[:len(thresholds)] = prec
     # AP_R40: skip the first point, average 40
-    return float(np.sum(precision[1:]) / 40.0 * 100.0)
+    ap = float(np.sum(precision[1:]) / 40.0 * 100.0)
+    if not compute_aos:
+        return ap
+    aos_full = np.zeros(N_SAMPLE_PTS, np.float64)
+    aos_full[:len(thresholds)] = aos_curve
+    return ap, float(np.sum(aos_full[1:]) / 40.0 * 100.0)
 
 
 def kitti_eval(gt_annos, det_annos, classes=CLASSES,
                metrics=("bbox", "bev", "3d"),
-               difficulties=(0, 1, 2)):
+               difficulties=(0, 1, 2), compute_aos=False):
     """Full sweep → {'<cls>_<metric>_<difficulty>': AP40} + mAPs
     (reference kitti_eval, eval.py:650-783; DetMatch headline =
-    moderate difficulty)."""
+    moderate difficulty). With ``compute_aos`` (and ``bbox`` among the
+    metrics) additionally emits ``<cls>_aos_<difficulty>`` and
+    ``mAP_aos_<difficulty>`` — requires ``alpha`` in both anno sets
+    (reference do_eval eval.py:597-649)."""
     out = {}
     diff_names = ("easy", "moderate", "hard")
     for metric in metrics:
         ov = precompute_overlaps(gt_annos, det_annos, metric)
+        aos_here = compute_aos and metric == "bbox"
         for cls in classes:
             for d in difficulties:
-                ap = eval_class(gt_annos, det_annos, cls, d, metric,
-                                overlaps=ov)
-                out[f"{cls}_{metric}_{diff_names[d]}"] = ap
+                r = eval_class(gt_annos, det_annos, cls, d, metric,
+                               overlaps=ov, compute_aos=aos_here)
+                if aos_here:
+                    r, aos = r
+                    out[f"{cls}_aos_{diff_names[d]}"] = aos
+                out[f"{cls}_{metric}_{diff_names[d]}"] = r
         for d in difficulties:
             vals = [out[f"{c}_{metric}_{diff_names[d]}"] for c in classes]
             out[f"mAP_{metric}_{diff_names[d]}"] = float(np.mean(vals))
+        if aos_here:
+            for d in difficulties:
+                vals = [out[f"{c}_aos_{diff_names[d]}"] for c in classes]
+                out[f"mAP_aos_{diff_names[d]}"] = float(np.mean(vals))
     return out
 
 

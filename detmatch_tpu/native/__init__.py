@@ -48,6 +48,12 @@ def get_lib():
     lib.sweep_thresholds.argtypes = [
         f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, f32p,
         i32p, i32p, ctypes.c_float, f32p, ctypes.c_int, i64p, i64p, i64p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.sweep_thresholds_aos.restype = None
+    lib.sweep_thresholds_aos.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, f32p,
+        i32p, i32p, f32p, f32p, ctypes.c_float, f32p, ctypes.c_int,
+        i64p, i64p, i64p, f64p]
     _lib = lib
     return lib
 
@@ -100,3 +106,38 @@ def sweep_thresholds(overlaps, dc_iof, scores, gt_ignored, det_ignored,
         _ptr(det_ignored, i32p), ctypes.c_float(min_overlap),
         _ptr(thresholds, f32p), len(thresholds),
         _ptr(tps, i64p), _ptr(fps, i64p), _ptr(fns, i64p))
+
+
+def sweep_thresholds_aos(overlaps, dc_iof, scores, gt_ignored,
+                         det_ignored, gt_alphas, dt_alphas, min_overlap,
+                         thresholds, tps, fps, fns, sims):
+    """Accumulate tp/fp/fn + per-threshold TP orientation similarity
+    (AOS numerator, reference eval.py:250-275). Arrays modified in
+    place; ``sims`` is float64 (n_thr,)."""
+    lib = get_lib()
+    assert lib is not None
+    n_det, n_gt = overlaps.shape
+    overlaps = np.ascontiguousarray(overlaps, np.float32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    gt_ignored = np.ascontiguousarray(gt_ignored, np.int32)
+    det_ignored = np.ascontiguousarray(det_ignored, np.int32)
+    gt_alphas = np.ascontiguousarray(gt_alphas, np.float32)
+    dt_alphas = np.ascontiguousarray(dt_alphas, np.float32)
+    thresholds = np.ascontiguousarray(thresholds, np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    if dc_iof is not None and dc_iof.size:
+        dc = np.ascontiguousarray(dc_iof, np.float32)
+        dc_ptr, n_dc = _ptr(dc, f32p), dc.shape[1]
+    else:
+        dc_ptr, n_dc = f32p(), 0
+    lib.sweep_thresholds_aos(
+        _ptr(overlaps, f32p), n_det, n_gt, dc_ptr, n_dc,
+        _ptr(scores, f32p), _ptr(gt_ignored, i32p),
+        _ptr(det_ignored, i32p), _ptr(gt_alphas, f32p),
+        _ptr(dt_alphas, f32p), ctypes.c_float(min_overlap),
+        _ptr(thresholds, f32p), len(thresholds),
+        _ptr(tps, i64p), _ptr(fps, i64p), _ptr(fns, i64p),
+        _ptr(sims, f64p))

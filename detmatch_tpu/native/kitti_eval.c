@@ -25,7 +25,12 @@ static int statistics_one(
     const int32_t *gt_ignored, const int32_t *det_ignored,
     float min_overlap, float thresh, int compute_fp,
     int32_t *tp, int32_t *fp, int32_t *fn,
-    float *tp_scores)
+    float *tp_scores,
+    /* AOS (reference eval.py:240-276): when gt_alphas/dt_alphas are
+     * non-NULL, *similarity accumulates (1+cos(gt_a - dt_a))/2 over TPs
+     * (FPs contribute 0; the reference's -1 "no dets" sentinel is
+     * filtered by the caller anyway, fused_compute_statistics:334). */
+    const float *gt_alphas, const float *dt_alphas, double *similarity)
 {
     unsigned char assigned[4096];
     unsigned char ignored_thresh[4096];
@@ -75,6 +80,10 @@ static int statistics_one(
         } else if (valid_det != NO_DETECTION) {
             tp_++;
             if (tp_scores) tp_scores[n_scores++] = scores[det_idx];
+            if (similarity && gt_alphas && dt_alphas)
+                *similarity += (1.0 + __builtin_cos(
+                    (double)gt_alphas[i] - (double)dt_alphas[det_idx]
+                )) / 2.0;
             assigned[det_idx] = 1;
         }
     }
@@ -113,7 +122,7 @@ int gather_tp_scores(
     int32_t tp, fp, fn;
     return statistics_one(overlaps, n_det, n_gt, NULL, 0, scores,
                           gt_ignored, det_ignored, min_overlap, 0.f, 0,
-                          &tp, &fp, &fn, tp_scores);
+                          &tp, &fp, &fn, tp_scores, NULL, NULL, NULL);
 }
 
 /* Threshold sweep for one image: accumulates into tps/fps/fns (n_thr,). */
@@ -129,7 +138,32 @@ void sweep_thresholds(
         int32_t tp, fp, fn;
         statistics_one(overlaps, n_det, n_gt, dc_iof, n_dc, scores,
                        gt_ignored, det_ignored, min_overlap,
-                       thresholds[t], 1, &tp, &fp, &fn, NULL);
+                       thresholds[t], 1, &tp, &fp, &fn, NULL,
+                       NULL, NULL, NULL);
         tps[t] += tp; fps[t] += fp; fns[t] += fn;
+    }
+}
+
+/* Threshold sweep with orientation similarity (AOS, bbox metric):
+ * additionally accumulates per-threshold TP orientation similarity
+ * into sims (n_thr doubles). */
+void sweep_thresholds_aos(
+    const float *overlaps, int n_det, int n_gt,
+    const float *dc_iof, int n_dc,
+    const float *scores, const int32_t *gt_ignored,
+    const int32_t *det_ignored,
+    const float *gt_alphas, const float *dt_alphas,
+    float min_overlap,
+    const float *thresholds, int n_thr,
+    int64_t *tps, int64_t *fps, int64_t *fns, double *sims)
+{
+    for (int t = 0; t < n_thr; ++t) {
+        int32_t tp, fp, fn;
+        double sim = 0.0;
+        statistics_one(overlaps, n_det, n_gt, dc_iof, n_dc, scores,
+                       gt_ignored, det_ignored, min_overlap,
+                       thresholds[t], 1, &tp, &fp, &fn, NULL,
+                       gt_alphas, dt_alphas, &sim);
+        tps[t] += tp; fps[t] += fp; fns[t] += fn; sims[t] += sim;
     }
 }

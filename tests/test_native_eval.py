@@ -28,8 +28,8 @@ def test_gather_tp_scores_matches_python(lib, seed):
     rng = np.random.RandomState(seed)
     ov, _, scores, gt_ign, det_ign = _rand_case(rng, 30, 12)
     got = native.gather_tp_scores(ov, scores, gt_ign, det_ign, 0.5)
-    _, _, _, want = ke._statistics(ov, None, scores, gt_ign, det_ign,
-                                   0.5, 0.0, False)
+    _, _, _, _, want = ke._statistics(ov, None, scores, gt_ign,
+                                      det_ign, 0.5, 0.0, False)
     np.testing.assert_allclose(sorted(got), sorted(want), atol=1e-7)
 
 
@@ -45,9 +45,31 @@ def test_sweep_matches_python(lib, seed, n_dc):
     native.sweep_thresholds(ov, dc, scores, gt_ign, det_ign, 0.5,
                             thresholds, tps, fps, fns)
     for t, thr in enumerate(thresholds):
-        tp, fp, fn, _ = ke._statistics(ov, dc, scores, gt_ign, det_ign,
-                                       0.5, thr, True)
+        tp, fp, fn, _, _ = ke._statistics(ov, dc, scores, gt_ign,
+                                          det_ign, 0.5, thr, True)
         assert (tps[t], fps[t], fns[t]) == (tp, fp, fn), (t, thr)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_sweep_aos_matches_python(lib, seed):
+    rng = np.random.RandomState(seed + 300)
+    ov, dc, scores, gt_ign, det_ign = _rand_case(rng, 40, 15, 3)
+    gt_a = (rng.rand(15) * 2 * np.pi - np.pi).astype(np.float32)
+    dt_a = (rng.rand(40) * 2 * np.pi - np.pi).astype(np.float32)
+    thresholds = np.linspace(0.05, 0.95, 11).astype(np.float32)
+    tps = np.zeros(len(thresholds), np.int64)
+    fps = np.zeros(len(thresholds), np.int64)
+    fns = np.zeros(len(thresholds), np.int64)
+    sims = np.zeros(len(thresholds), np.float64)
+    native.sweep_thresholds_aos(ov, dc, scores, gt_ign, det_ign,
+                                gt_a, dt_a, 0.5, thresholds,
+                                tps, fps, fns, sims)
+    for t, thr in enumerate(thresholds):
+        tp, fp, fn, sim, _ = ke._statistics(
+            ov, dc, scores, gt_ign, det_ign, 0.5, thr, True,
+            gt_alphas=gt_a, dt_alphas=dt_a)
+        assert (tps[t], fps[t], fns[t]) == (tp, fp, fn), (t, thr)
+        np.testing.assert_allclose(sims[t], sim, atol=1e-9)
 
 
 def test_eval_class_native_vs_python(lib, monkeypatch):

@@ -441,13 +441,18 @@ def _synth_scene(rng, n_frames=16):
         occ = rng.randint(0, 4, n)
         trunc = (rng.rand(n) * 0.7).astype(np.float32)
 
-        my_gts.append(dict(name=names, bbox=bbox, occluded=occ,
-                           truncated=trunc, boxes3d=boxes3d))
         loc, dims, rot = _cam_from_lidar(boxes3d)
+        # observation angle (devkit convention: ry - atan2(x_cam, z_cam))
+        gt_alpha = (rot - np.arctan2(loc[:, 0], loc[:, 2])
+                    ).astype(np.float32)
+        my_gts.append(dict(name=names, bbox=bbox, occluded=occ,
+                           truncated=trunc, boxes3d=boxes3d,
+                           alpha=gt_alpha))
         ref_gts.append(dict(
             name=names, truncated=trunc.astype(np.float64),
             occluded=occ.astype(np.int64),
-            alpha=np.zeros(n), bbox=bbox.astype(np.float64),
+            alpha=gt_alpha.astype(np.float64),
+            bbox=bbox.astype(np.float64),
             dimensions=dims.astype(np.float64),
             location=loc.astype(np.float64),
             rotation_y=rot.astype(np.float64)))
@@ -485,15 +490,18 @@ def _synth_scene(rng, n_frames=16):
         labels = np.array([CLASSES.index(x) if x in CLASSES else -1
                            for x in det_names], np.int32)
         valid = labels >= 0
+        loc, dims, rot = _cam_from_lidar(det_b3d[valid])
+        dt_alpha = (rot - np.arctan2(loc[:, 0], loc[:, 2])
+                    ).astype(np.float32)
         my_dets.append(dict(labels=labels[valid], scores=scores[valid],
                             bbox=det_bbox[valid],
-                            boxes3d=det_b3d[valid]))
-        loc, dims, rot = _cam_from_lidar(det_b3d[valid])
+                            boxes3d=det_b3d[valid], alpha=dt_alpha))
         md = int(valid.sum())
         ref_dets.append(dict(
             name=det_names[valid],
             truncated=np.zeros(md), occluded=np.zeros(md, np.int64),
-            alpha=np.zeros(md), bbox=det_bbox[valid].astype(np.float64),
+            alpha=dt_alpha.astype(np.float64),
+            bbox=det_bbox[valid].astype(np.float64),
             dimensions=dims.astype(np.float64),
             location=loc.astype(np.float64),
             rotation_y=rot.astype(np.float64),
@@ -527,3 +535,30 @@ def test_kitti_eval_ap_golden_parity(metric):
             assert abs(mine - ref_map[ci, di]) < 1e-6, (
                 f"{cls}/{diffs[di]}/{metric}: mine={mine} "
                 f"ref={ref_map[ci, di]}")
+
+
+def test_kitti_eval_aos_golden_parity():
+    """AOS (orientation similarity) golden parity vs reference eval.py
+    (compute_aos path, eval.py:240-276 + 550-560)."""
+    from detmatch_tpu.eval import kitti_eval as ke
+    ev = ref_eval()
+    ev.bev_box_overlap = _shared_bev_overlap
+    ev.d3_box_overlap = _shared_d3_overlap
+
+    rng = np.random.RandomState(11)
+    my_gts, my_dets, ref_gts, ref_dets = _synth_scene(rng)
+
+    min_overlaps = np.tile(
+        np.array([[0.7, 0.5, 0.5]], np.float64), (3, 1))[None]
+    ret = ev.eval_class(ref_gts, ref_dets, [0, 1, 2], [0, 1, 2],
+                        0, min_overlaps, compute_aos=True, num_parts=4)
+    ref_ap = ret["precision"][:, :, 0, 1:].sum(-1) / 40.0 * 100.0
+    ref_aos = ret["orientation"][:, :, 0, 1:].sum(-1) / 40.0 * 100.0
+
+    for ci, cls in enumerate(("Car", "Pedestrian", "Cyclist")):
+        for di in range(3):
+            ap, aos = ke.eval_class(my_gts, my_dets, cls, di, "bbox",
+                                    compute_aos=True)
+            assert abs(ap - ref_ap[ci, di]) < 1e-6, (cls, di)
+            assert abs(aos - ref_aos[ci, di]) < 1e-6, (
+                f"{cls}/{di}: mine={aos} ref={ref_aos[ci, di]}")

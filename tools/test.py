@@ -28,6 +28,16 @@ def main():
     ap.add_argument("--score-thr", type=float, default=None,
                     help="pre-NMS confidence floor override for both "
                          "branches (defaults: 0.1 3D / 0.05 2D)")
+    ap.add_argument("--score-thr-3d", type=float, default=None,
+                    help="3D-only floor override (wins over --score-thr; "
+                         "the branches have asymmetric defaults)")
+    ap.add_argument("--score-thr-2d", type=float, default=None,
+                    help="2D-only floor override (wins over --score-thr)")
+    ap.add_argument("--out-kitti", default=None, metavar="DIR",
+                    help="also dump official KITTI-format result txts "
+                         "(reference bbox2result_kitti submission path); "
+                         "SSL checkpoints write tea.3d/ and stu.3d/ "
+                         "subdirectories")
     args = ap.parse_args()
 
     from detmatch_tpu.apis import build
@@ -60,10 +70,25 @@ def main():
         payload = checkpoints.restore(args.checkpoint, step,
                                       dict(state=state, opt_state=None))
         kw = {}
-        if args.score_thr is not None:
-            kw = dict(score_thresh_3d=args.score_thr,
-                      score_thr_2d=args.score_thr)
-        res = eval_ssl(ssl, payload["state"], ds, collate_fn, vox, **kw)
+        thr3 = args.score_thr_3d if args.score_thr_3d is not None \
+            else args.score_thr
+        thr2 = args.score_thr_2d if args.score_thr_2d is not None \
+            else args.score_thr
+        if thr3 is not None:
+            kw["score_thresh_3d"] = thr3
+        if thr2 is not None:
+            kw["score_thr_2d"] = thr2
+        if args.out_kitti:
+            res, dets = eval_ssl(ssl, payload["state"], ds, collate_fn,
+                                 vox, return_dets=True, **kw)
+            from detmatch_tpu.eval.kitti_format import write_submission
+            for key in ("tea.3d", "stu.3d"):
+                write_submission(dets[key], ds.infos,
+                                 os.path.join(args.out_kitti, key))
+            print(f"KITTI submission written to {args.out_kitti}")
+        else:
+            res = eval_ssl(ssl, payload["state"], ds, collate_fn, vox,
+                           **kw)
     elif task == "pretrain_3d":
         from detmatch_tpu.models.pvrcnn.pvrcnn import PVRCNN
         model = PVRCNN(**cfg["model"]["detector_3d"])
@@ -71,17 +96,23 @@ def main():
         import jax
         payload = checkpoints.restore(args.checkpoint, step,
                                       dict(model=None))
-        kw = ({} if args.score_thr is None
-              else dict(score_thresh=args.score_thr))
-        res, _ = eval_pvrcnn(model, payload["model"], ds, collate_fn,
-                             vox, **kw)
+        thr3 = args.score_thr_3d if args.score_thr_3d is not None \
+            else args.score_thr
+        kw = {} if thr3 is None else dict(score_thresh=thr3)
+        res, dets = eval_pvrcnn(model, payload["model"], ds, collate_fn,
+                                vox, **kw)
+        if args.out_kitti:
+            from detmatch_tpu.eval.kitti_format import write_submission
+            write_submission(dets, ds.infos, args.out_kitti)
+            print(f"KITTI submission written to {args.out_kitti}")
     else:
         from detmatch_tpu.models.frcnn.faster_rcnn import FasterRCNN
         model = FasterRCNN(**cfg["model"]["detector_2d"])
         payload = checkpoints.restore(args.checkpoint, step,
                                       dict(model=None))
-        kw = ({} if args.score_thr is None
-              else dict(score_thr=args.score_thr))
+        thr2 = args.score_thr_2d if args.score_thr_2d is not None \
+            else args.score_thr
+        kw = {} if thr2 is None else dict(score_thr=thr2)
         res, _ = eval_frcnn(model, payload["model"], ds, collate_fn,
                             **kw)
 

@@ -45,6 +45,19 @@ def _linear(sd, prefix):
     return out
 
 
+def _linear_nchw_flat(sd, prefix, c, h, w):
+    """Linear whose torch input is flatten(1) of (R, C, H, W) while the
+    flax consumer flattens (R, H, W, C): permute the input dimension
+    C-major → H-major (caught by tests/test_frcnn_torch_parity.py —
+    without this the first shared FC mixes channels and pixels)."""
+    wt = _np(sd[prefix + ".weight"])            # (out, C*H*W)
+    wt = wt.reshape(wt.shape[0], c, h, w).transpose(0, 2, 3, 1)
+    out = {"kernel": wt.reshape(wt.shape[0], -1).T}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
 def _conv2d(sd, prefix):
     out = {"kernel": _np(sd[prefix + ".weight"]).transpose(2, 3, 1, 0)}
     if prefix + ".bias" in sd:
@@ -290,7 +303,8 @@ def convert_frcnn(sd):
     put(["rpn_head", "rpn_reg"], _conv2d(sd, "rpn_head.rpn_reg"))
 
     put(["bbox_head", "shared_fc0"],
-        _linear(sd, "roi_head.bbox_head.shared_fcs.0"))
+        _linear_nchw_flat(sd, "roi_head.bbox_head.shared_fcs.0",
+                          c=256, h=7, w=7))
     put(["bbox_head", "shared_fc1"],
         _linear(sd, "roi_head.bbox_head.shared_fcs.1"))
     put(["bbox_head", "fc_cls"], _linear(sd, "roi_head.bbox_head.fc_cls"))

@@ -39,14 +39,24 @@ shared_pipeline = [
         sample_groups=dict(Car=15, Pedestrian=10, Cyclist=10),
         filter_by_min_points=dict(Car=5, Pedestrian=5, Cyclist=5),
     )),
-    dict(type="Resize", img_scale=((640, 192), (1280, 384))),
+    # full reference multiscale range (pretrain_frcnn/split_0.py:73-74
+    # img_scale [(640,192),(2560,768)]); samples that exceed the static
+    # canvas are squashed back to fit by PadToCanvas (scale recorded) —
+    # the canvas, not the range, is the binding constraint. Set
+    # canvas=(768, 2560) for the reference's full upscale headroom.
+    dict(type="Resize", img_scale=((640, 192), (2560, 768))),
     dict(type="RandomFlip3D", flip_ratio=0.5),
 ]
 
 shared_pipeline_nosample = [
     dict(type="LoadImage"),
     dict(type="LoadPoints", load_dim=4, use_dim=4),
-    dict(type="Resize", img_scale=((640, 192), (1280, 384))),
+    # full reference multiscale range (pretrain_frcnn/split_0.py:73-74
+    # img_scale [(640,192),(2560,768)]); samples that exceed the static
+    # canvas are squashed back to fit by PadToCanvas (scale recorded) —
+    # the canvas, not the range, is the binding constraint. Set
+    # canvas=(768, 2560) for the reference's full upscale headroom.
+    dict(type="Resize", img_scale=((640, 192), (2560, 768))),
     dict(type="RandomFlip3D", flip_ratio=0.5),
 ]
 

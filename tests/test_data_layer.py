@@ -189,3 +189,100 @@ def test_object_noise():
     empty = tr({"gt_bboxes_3d": np.zeros((0, 7), np.float32),
                 "points": pts.copy()})
     assert len(empty["gt_bboxes_3d"]) == 0
+
+
+def test_full_multiscale_resize_range(kitti_root):
+    """Reference multiscale semantics under the fixed canvas
+    (pretrain_frcnn/split_0.py:73-74 img_scale [(640,192),(2560,768)]):
+    over-canvas samples are squashed to fit by PadToCanvas with the
+    squash folded into scale_factor, so the scale record ALWAYS maps
+    ori-frame boxes to canvas-frame boxes exactly (the round-trip every
+    SSL 2D transform relies on)."""
+    root, info_path, _ = kitti_root
+    ds = kitti.KittiDataset(root, info_path)
+    canvas = (384, 1280)
+    saw_downscale = saw_upscale = False
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        pipe = [pipelines.LoadPoints(), pipelines.LoadImage(),
+                pipelines.Resize(img_scale=((640, 192), (2560, 768)),
+                                 rng=rng)]
+        r = ds[0]
+        ori_boxes = r["gt_bboxes"].copy()
+        ori_shape = r["ori_shape"].astype(np.float64)
+        for p in pipe:
+            r = p(r)
+        pre_pad_scale = r["scale_factor"].copy()
+        saw_downscale |= pre_pad_scale[0] < 1.0
+        saw_upscale |= pre_pad_scale[0] > 1.0
+        r = pipelines.PadToCanvas(canvas)(r)
+        # canvas always holds the (possibly squashed) image
+        assert r["img"].shape == (*canvas, 3)
+        assert (r["img_shape"] <= np.array(canvas)).all()
+        # scale record round-trip: ori boxes * scale_factor == boxes
+        np.testing.assert_allclose(
+            ori_boxes * r["scale_factor"][None], r["gt_bboxes"],
+            rtol=1e-5, atol=1e-3)
+        # and the true image extent matches the recorded scale
+        np.testing.assert_allclose(
+            r["img_shape"].astype(np.float64),
+            np.round(ori_shape * r["scale_factor"][[1, 0]]), atol=1.0)
+    # the widened range actually exercises BOTH regimes
+    assert saw_downscale and saw_upscale
+
+
+def test_train_step_two_scales_one_compile(kitti_root):
+    """Two different sampled scales land in the SAME static canvas shape,
+    so the 2D train step compiles once and runs finite losses at both
+    (the fixed-canvas answer to the reference's dynamic multiscale)."""
+    import jax
+    import jax.numpy as jnp
+    from detmatch_tpu.models.frcnn.faster_rcnn import FasterRCNN
+    from detmatch_tpu.utils.tiny import TINY_FR_CFG
+
+    root, info_path, _ = kitti_root
+    ds = kitti.KittiDataset(root, info_path)
+    canvas = TINY_FR_CFG["canvas"]
+    model = FasterRCNN(**TINY_FR_CFG)
+
+    def sample_at(seed):
+        rng = np.random.RandomState(seed)
+        r = ds[0]
+        for p in [pipelines.LoadImage(),
+                  pipelines.Resize(img_scale=((64, 24), (256, 96)),
+                                   rng=rng),
+                  pipelines.Normalize(), pipelines.PadToCanvas(canvas)]:
+            r = p(r)
+        return (jnp.asarray(r["img"][None]),
+                jnp.asarray(r["img_shape"][None].astype(np.float32)),
+                jnp.asarray(r["gt_bboxes"][None].astype(np.float32)),
+                jnp.asarray(r["gt_labels"][None].astype(np.int32)))
+
+    img0, shp0, gtb0, gtl0 = sample_at(0)
+    img1, shp1, gtb1, gtl1 = sample_at(12345)
+    assert not np.allclose(shp0, shp1), "want two distinct scales"
+    g = max(gtb0.shape[1], gtb1.shape[1], 1)
+
+    def padg(b, l):
+        bb = jnp.zeros((1, g, 4), jnp.float32).at[:, :b.shape[1]].set(b)
+        ll = jnp.zeros((1, g), jnp.int32).at[:, :l.shape[1]].set(l)
+        vv = jnp.zeros((1, g), bool).at[:, :l.shape[1]].set(True)
+        return bb, ll, vv
+
+    variables = model.init({"params": jax.random.PRNGKey(0)}, img0, shp0,
+                           train=True)
+
+    @jax.jit
+    def loss_fn(img, shp, gtb, gtl, gtv):
+        fwd = model.apply(variables, img, shp, train=True)
+        losses = model.apply(variables, jax.random.PRNGKey(1), fwd,
+                             gtb, gtl, gtv, method=FasterRCNN.loss)
+        return sum(jnp.sum(v) for v in losses.values())
+
+    for (img, shp, b, l) in [(img0, shp0, gtb0, gtl0),
+                             (img1, shp1, gtb1, gtl1)]:
+        bb, ll, vv = padg(b, l)
+        val = loss_fn(img, shp, bb, ll, vv)
+        assert np.isfinite(float(val)), float(val)
+    # one compiled program served both scales
+    assert loss_fn._cache_size() == 1

@@ -78,7 +78,7 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
               work_dir, max_iters=5000, batch_size=4, lr_3d=None,
               lr_2d=None, num_unlabeled=1, log_interval=10,
               ckpt_interval=5000, seed=0, mesh: Optional[Mesh] = None,
-              resume_from: Optional[str] = None,
+              resume_from: Optional[str] = None, warmup_iters=500,
               load_from: Dict[str, str] = None,
               load_from_with_optimizer: Optional[str] = None,
               val_dataset=None, val_collate_fn=None, eval_interval=None,
@@ -123,7 +123,8 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
         state = ssl.init_states(key, vfirst["lab"]["stu"],
                                 vfirst["lab"]["stu"]["img"],
                                 vfirst["lab"]["stu"]["img_shape"])
-    tx3d, tx2d = detmatch_branch_optimizers(lr_3d, lr_2d)
+    tx3d, tx2d = detmatch_branch_optimizers(lr_3d, lr_2d,
+                                            warmup_iters=warmup_iters)
     opt_state = dict(
         det3d=tx3d.init(state["student"]["det3d"]["params"]),
         det2d=tx2d.init(state["student"]["det2d"]["params"]))

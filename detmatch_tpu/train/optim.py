@@ -177,17 +177,20 @@ def flatten_optimizer(inner: optax.GradientTransformation):
     return optax.GradientTransformation(init, update)
 
 
-def detmatch_branch_optimizers(lr_3d, lr_2d, clip_norm=10.0):
+def detmatch_branch_optimizers(lr_3d, lr_2d, clip_norm=10.0,
+                               warmup_iters=500):
     """Per-branch optimizers for the split SSL step: AdamW for det3d,
     SGD-momentum for det2d (the reference HybridOptimizer's two groups),
     each guarded by the NaN/inf-grad skip and run flat (see
-    :func:`flatten_optimizer`)."""
+    :func:`flatten_optimizer`). ``warmup_iters`` follows the reference
+    lr_config (500 linear-warmup iters); shorten it for runs far below
+    the production 5000-iter schedule."""
     tx3d = flatten_optimizer(skip_nonfinite(optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        adamw(warmup_step_lr(lr_3d)))))
+        adamw(warmup_step_lr(lr_3d, warmup_iters=warmup_iters)))))
     tx2d = flatten_optimizer(skip_nonfinite(optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        sgd_momentum(warmup_step_lr(lr_2d)))))
+        sgd_momentum(warmup_step_lr(lr_2d, warmup_iters=warmup_iters)))))
     return tx3d, tx2d
 
 

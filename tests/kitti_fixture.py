@@ -106,7 +106,8 @@ def _calib_mats():
 
 def make_kitti_random(root, n_frames, seed=0, split="train",
                       n_points=2500, x_range=(4.0, 14.0),
-                      max_objects=3, start_idx=0):
+                      max_objects=3, start_idx=0,
+                      classes=("Car", "Pedestrian", "Cyclist")):
     """Generate ``n_frames`` randomized scenes under ``root``.
 
     Each scene: 1..max_objects objects at random non-overlapping BEV
@@ -143,7 +144,7 @@ def make_kitti_random(root, n_frames, seed=0, split="train",
         # ---- sample non-overlapping boxes (lidar frame) ----
         names, boxes = [], []
         for _ in range(rng.randint(1, max_objects + 1)):
-            name = ("Car", "Pedestrian", "Cyclist")[rng.randint(3)]
+            name = classes[rng.randint(len(classes))]
             l, w, h = CLASS_DIMS[name]
             for _try in range(30):
                 x = rng.uniform(*x_range)

@@ -63,8 +63,18 @@ def make_data(root):
     for name, (n, seed, start) in specs.items():
         p = os.path.join(root, f"kitti_infos_{name}.pkl")
         if not os.path.exists(p):
+            # Cars only, denser scenes: the toy task must be GEOMETRICALLY
+            # learnable at tiny-config resolution. The round-3/round-4
+            # all-classes runs collapsed to all-background with
+            # rcnn_loss_reg == 0 for all 600 iters: sub-meter objects
+            # (Ped/Cyc) on the 1 m anchor grid never produce a proposal
+            # above reg_fg_thresh 0.55, and their ~5 px projected boxes
+            # never match a 2D anchor, so the only consistent labels are
+            # "background". Car-sized objects make the production
+            # assignment thresholds reachable.
             split = make_kitti_random(root, n, seed=seed, split=name,
-                                      start_idx=start)
+                                      start_idx=start, max_objects=4,
+                                      classes=("Car",))
             infos = kitti.create_infos(root, split, training=True)
             with open(p, "wb") as f:
                 pickle.dump(infos, f)
@@ -99,12 +109,37 @@ def build_cfg(root, paths, iters, ssl_weight, work_dir, seed):
     m3 = cfg["model"]["detector_3d"]
     m3["voxel_size"] = tuple(vs)
     m3["grid_size"] = (128, 128, 40)
-    m3["num_keypoints"] = 64
+    # enough FPS keypoints that every car's RoI grid pools real points
+    m3["num_keypoints"] = 128
+    # 3. ssl_tiny's 64x128 canvas shrinks the fixture's 375x1242 images
+    #    ~10x: a projected car becomes ~20 px, below the smallest 2D
+    #    anchor (32 px at stride 4 x scale 8), so the 2D RPN has zero
+    #    positive anchors (observed: sup.2d.loss_rpn_bbox == 0 for the
+    #    whole round-4 run) and the 2D branch learns all-background.
+    #    96x320 (scale ~0.25) puts cars at ~60-90 px — inside the
+    #    anchor pyramid.
+    canvas = (96, 320)
+    cfg["model"]["detector_2d"]["canvas"] = canvas
+    scale_wh = (canvas[1], canvas[0])
+    for split in ("train_lab", "train_unlab"):
+        for key in ("shared_pipeline", "student_pipeline",
+                    "teacher_pipeline"):
+            for step in d[split].get(key, []):
+                if step.get("type") == "Resize":
+                    step["img_scale"] = (scale_wh, scale_wh)
+                if step.get("type") == "PadToCanvas":
+                    step["canvas"] = canvas
+    for step in d["val"]["pipeline"]:
+        if step.get("type") == "PadToCanvas":
+            step["canvas"] = canvas
     cfg["max_iters"] = iters
     cfg["batch_size"] = 2
     cfg["num_unlabeled_samples"] = 2
     cfg["log_interval"] = max(1, iters // 40)
-    cfg["ckpt_interval"] = iters
+    # checkpoint periodically: the axon tunnel can hang mid-run and a
+    # kill leaks the chip grant — resume from the last quarter instead
+    # of retraining (make_data/--data-root reuse makes reruns cheap)
+    cfg["ckpt_interval"] = max(1, iters // 4)
     cfg["evaluation"] = None
     cfg["ssl"] = dict(cfg.get("ssl", {}), ssl_weight=ssl_weight,
                       # ramp SSL in over the first third, like the
@@ -139,15 +174,37 @@ def run_training(cfg, seed=0):
     # production batch sizes; at this toy scale they diverge (observed:
     # AdamW@0.03 blows the RPN logits to ~8e3 and the RCNN head
     # collapses to all-background → AP 0).
+    # LR/warmup at toy scale: the production 500-iter warmup +
+    # conservative LRs leave the anchor head's localization unconverged
+    # inside the study budget (round-4 diagnosis: rpn_loss_loc flat at
+    # ~0.6-0.7 for 600 iters, best RoI IoU ~0.2 even on TRAIN scenes →
+    # rcnn correctly learns "all background" → zero detections). The
+    # reference never trains PV-RCNN from scratch in-SSL either — it
+    # pretrains 3D for 40 epochs at cyclic LR up to 1e-2 first
+    # (pretrain_pvrcnn/split_0.py:320-346); these settings give the toy
+    # run an equivalent optimization budget.
     state = train_ssl(
         ssl, vox, lab, unlab, lambda s: collate_ts(s, **ck),
         cfg["work_dir"], max_iters=cfg["max_iters"],
         batch_size=cfg["batch_size"],
-        lr_3d=cfg.get("lr_3d", 1e-3), lr_2d=cfg.get("lr_2d", 5e-3),
+        lr_3d=cfg.get("lr_3d", 4e-3), lr_2d=cfg.get("lr_2d", 1e-2),
         num_unlabeled=cfg["num_unlabeled_samples"], seed=seed,
         log_interval=cfg["log_interval"],
-        ckpt_interval=cfg["ckpt_interval"], resume_from=resume)
+        ckpt_interval=cfg["ckpt_interval"], resume_from=resume,
+        warmup_iters=cfg.get("warmup_iters",
+                             max(50, cfg["max_iters"] // 10)))
     return ssl, vox, jax.device_get(state)
+
+
+# low score floors: AP sweeps thresholds, and a tiny-config model's
+# calibrated scores can sit below the production 0.1 floor — which
+# truncates the PR curve to a hard AP=0 (the exact failure the 600-iter
+# round-3 study hit: loss 8.9→1.3 but every AP 0.0 because no detection
+# cleared the floor). Echoed into the report JSON so its APs are never
+# silently compared against production evals run at the 0.1/0.05
+# defaults.
+SCORE_THRESH_3D = 0.01
+SCORE_THR_2D = 0.01
 
 
 def run_eval(cfg, ssl, vox, state, attempts=3):
@@ -160,14 +217,10 @@ def run_eval(cfg, ssl, vox, state, attempts=3):
     ck = dict(cfg["data"].get("collate", {}))
     for a in range(attempts):
         try:
-            # low score floors: AP sweeps thresholds, and a tiny-config
-            # model's calibrated scores can sit below the production 0.1
-            # floor — which truncates the PR curve to a hard AP=0 (the
-            # exact failure the 600-iter round-3 study hit: loss 8.9→1.3
-            # but every AP 0.0 because no detection cleared the floor)
             return eval_ssl(ssl, state, val,
                             lambda s: collate_view(s, **ck), vox,
-                            score_thresh_3d=0.01, score_thr_2d=0.01)
+                            score_thresh_3d=SCORE_THRESH_3D,
+                            score_thr_2d=SCORE_THR_2D)
         except jax.errors.JaxRuntimeError as e:
             # the remote-compile tunnel occasionally drops mid-read;
             # the computation is pure, so retrying is safe
@@ -210,7 +263,7 @@ def loss_curve(work_dir):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--iters", type=int, default=1200)
     ap.add_argument("--out", default=os.path.join(
         REPO, "docs", "learning_study.json"))
     ap.add_argument("--keep", action="store_true")
@@ -258,6 +311,7 @@ def main():
     first_a, last_a = quartile_means(curve_a)
     report = dict(
         iters=args.iters,
+        score_thresh_3d=SCORE_THRESH_3D, score_thr_2d=SCORE_THR_2D,
         loss_first_quartile=first_a, loss_last_quartile=last_a,
         ap_init={k: v for k, v in ap_init.items() if "mAP" in k or "num_dets" in k},
         ap_labonly={k: v for k, v in ap_a.items() if "mAP" in k or "num_dets" in k},

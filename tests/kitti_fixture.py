@@ -107,7 +107,8 @@ def _calib_mats():
 def make_kitti_random(root, n_frames, seed=0, split="train",
                       n_points=2500, x_range=(4.0, 14.0),
                       max_objects=3, start_idx=0,
-                      classes=("Car", "Pedestrian", "Cyclist")):
+                      classes=("Car", "Pedestrian", "Cyclist"),
+                      yaw_range=(-np.pi, np.pi)):
     """Generate ``n_frames`` randomized scenes under ``root``.
 
     Each scene: 1..max_objects objects at random non-overlapping BEV
@@ -152,7 +153,8 @@ def make_kitti_random(root, n_frames, seed=0, split="train",
                 # the image
                 y = rng.uniform(-1, 1) * min(5.0, 0.5 * x)
                 cand = np.array([x, y, -1.0, l, w, h,
-                                 rng.uniform(-np.pi, np.pi)], np.float32)
+                                 rng.uniform(*yaw_range)],
+                                np.float32)
                 if all(np.linalg.norm(cand[:2] - b[:2]) >
                        0.7 * (max(l, w) + max(b[3], b[4]))
                        for b in boxes):

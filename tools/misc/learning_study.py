@@ -111,6 +111,13 @@ def build_cfg(root, paths, iters, ssl_weight, work_dir, seed):
     m3["grid_size"] = (128, 128, 40)
     # enough FPS keypoints that every car's RoI grid pools real points
     m3["num_keypoints"] = 128
+    # capacity must FOLLOW max_voxels: ssl_tiny's 384-voxel backbone cap
+    # silently truncated the 4096-voxel scenes to a spatially-biased
+    # 384-voxel strip (sorted-key order), hiding most objects from the
+    # network — the round-4 study's 3D branch could not converge its
+    # localization because the supervision was inconsistent scene to
+    # scene (rpn_loss_loc flat ~0.8 with 2.4→15 loss spikes)
+    m3["backbone_caps"] = (4096, 4096, 2048, 2048)
     # 3. ssl_tiny's 64x128 canvas shrinks the fixture's 375x1242 images
     #    ~10x: a projected car becomes ~20 px, below the smallest 2D
     #    anchor (32 px at stride 4 x scale 8), so the 2D RPN has zero
@@ -129,6 +136,16 @@ def build_cfg(root, paths, iters, ssl_weight, work_dir, seed):
                     step["img_scale"] = (scale_wh, scale_wh)
                 if step.get("type") == "PadToCanvas":
                     step["canvas"] = canvas
+                # 4. tame the 3D augmentation for the toy budget: a fixed
+                #    batch overfits in ~25 iters (rpn_loss_loc 0.95→0.13,
+                #    tools-side probe), but the production ±45° global
+                #    rotation re-randomizes anchor assignments every iter
+                #    and 6 scenes x 1200 iters cannot average over that
+                #    churn (observed: rpn losses flat at their plateau).
+                #    Small ranges keep the aug-record flow exercised.
+                if step.get("type") == "GlobalRotScaleTrans":
+                    step["rot_range"] = (-0.15, 0.15)
+                    step["scale_ratio_range"] = (0.98, 1.02)
     for step in d["val"]["pipeline"]:
         if step.get("type") == "PadToCanvas":
             step["canvas"] = canvas

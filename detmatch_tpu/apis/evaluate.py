@@ -48,8 +48,7 @@ def eval_pvrcnn(model: PVRCNN, variables, ds, collate_fn, vox_spec,
     range truncates the PR curve to AP=0 — pass a low value when
     evaluating small/early-training models (e.g. the learning study).
     """
-    jfwd = jax.jit(lambda b: post_processing(
-        model.apply(variables, b, train=False), score_thresh=score_thresh))
+    jfwd = _jit_pvrcnn_fwd(model, float(score_thresh))
     det_annos = []
     for batch_np, true in epoch_batches(ds, batch_size, collate_fn):
         batch = jax.tree.map(jnp.asarray, batch_np)
@@ -57,7 +56,7 @@ def eval_pvrcnn(model: PVRCNN, variables, ds, collate_fn, vox_spec,
             batch["points"], batch["points_valid"])
         batch = dict(batch, voxel_features=vox["features"],
                      voxel_keys=vox["keys"])
-        post = jax.device_get(jfwd(batch))
+        post = jax.device_get(jfwd(variables, batch))
         for i in range(true):
             v = post["valid"][i]
             boxes = post["boxes"][i][v][:max_dets]
@@ -84,6 +83,45 @@ def eval_pvrcnn(model: PVRCNN, variables, ds, collate_fn, vox_spec,
     return res, det_annos
 
 
+_JIT_CACHE: Dict[tuple, object] = {}
+
+
+def _jit_cached(tag, model, key_extra, make):
+    """One jitted eval program per (model CONFIG, extras) — weights enter
+    as a TRACED argument, not a closure constant. Closure-captured
+    variables bake the weight values into the HLO, so every eval of a
+    different checkpoint (teacher vs student, init vs trained) forced a
+    full re-compile — ~16 min per eval fanout on the remote-compile
+    tunnel, where compiled programs are never persisted across or within
+    processes. Flax modules are not hashable when configured with dict
+    fields (test_nms), so the key is the module repr — deterministic and
+    config-complete — letting equal-config models share one program
+    across build() calls (module apply is pure, so which equal-config
+    instance traced it is irrelevant)."""
+    key = (tag, repr(model), key_extra)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = make()
+        if len(_JIT_CACHE) > 32:  # bound: configs are few in practice
+            _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+    return fn
+
+
+def _jit_pvrcnn_fwd(model, score_thresh):
+    return _jit_cached(
+        "pvrcnn", model, score_thresh,
+        lambda: jax.jit(lambda v, b: post_processing(
+            model.apply(v, b, train=False), score_thresh=score_thresh)))
+
+
+def _jit_frcnn_fwd(model, score_thr):
+    return _jit_cached(
+        "frcnn", model, score_thr,
+        lambda: jax.jit(lambda v, img, shp: model.apply(
+            v, img, shp, score_thr=score_thr,
+            method=FasterRCNN.simple_test)))
+
+
 def _warn_if_no_dets(det_annos, tag, floor):
     """Self-report the score-floor trap: a floor above the model's score
     range hard-zeroes AP by truncating the PR curve (the failure mode of
@@ -100,12 +138,10 @@ def eval_frcnn(model: FasterRCNN, variables, ds, collate_fn,
                batch_size=2, score_thr=0.05):
     """2D eval: simple_test + bbox AP. ``score_thr`` as in
     :func:`eval_pvrcnn` (mmdet simple-test default 0.05)."""
-    jfwd = jax.jit(lambda img, shp: model.apply(
-        variables, img, shp, score_thr=score_thr,
-        method=FasterRCNN.simple_test))
+    jfwd = _jit_frcnn_fwd(model, float(score_thr))
     det_annos = []
     for batch_np, true in epoch_batches(ds, batch_size, collate_fn):
-        res = jax.device_get(jfwd(jnp.asarray(batch_np["img"]),
+        res = jax.device_get(jfwd(variables, jnp.asarray(batch_np["img"]),
                                   jnp.asarray(batch_np["img_shape"])))
         for i in range(true):
             v = res["valid"][i]

@@ -173,6 +173,15 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
                         donate_argnums=(0, 1))
     ema_jit = jax.jit(ema_fn, in_shardings=(repl, repl, None),
                       out_shardings=repl, donate_argnums=(0,))
+    # jitted ONCE: building this inside the loop leaked a fresh traced
+    # program every iteration (~MB/iter of host-side executable cache)
+    # and issued one remote compile per step through the compile tunnel,
+    # which reproducibly hung the tunnel client after ~950 iterations
+    dropped_jit = jax.jit(
+        lambda vb: sum(jnp.sum(v["voxel_dropped"])
+                       for views in vb.values()
+                       for v in views.values()),
+        out_shardings=repl)
     state = put_replicated(state, repl)
     opt_state = put_replicated(opt_state, repl)
 
@@ -204,11 +213,7 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
             # sustained non-zero rate means the cap is eating geometry).
             # jitted with a replicated output so the count of a globally
             # sharded batch is readable on every host process
-            logs["metrics.dropped_voxels"] = jax.jit(
-                lambda vb: sum(jnp.sum(v["voxel_dropped"])
-                               for views in vb.values()
-                               for v in views.values()),
-                out_shardings=repl)(vbatch)
+            logs["metrics.dropped_voxels"] = dropped_jit(vbatch)
             if profile_dir and it == start_iter + 15:
                 jax.block_until_ready(logs)
                 jax.profiler.stop_trace()

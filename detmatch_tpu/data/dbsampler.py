@@ -62,18 +62,28 @@ def _bev_corners(boxes):
     return np.asarray(geometry.boxes_to_corners_bev(boxes))
 
 
+_collide_jit = None
+
+
 def _boxes_collide(corners_a, corners_b):
     """Pairwise BEV overlap test via the exact rotated-overlap math
     (reference uses a numba box_collision_test,
-    ``data_augment_utils.py``; here the shared jnp kernel)."""
+    ``data_augment_utils.py``; here the shared jnp kernel). The jitted
+    kernel is a lazy module singleton: this runs once per TRAINING
+    SAMPLE in the data pipeline, and re-wrapping with jax.jit per call
+    both leaks a traced-program cache entry and defeats same-shape
+    executable reuse."""
+    global _collide_jit
     na, nb = len(corners_a), len(corners_b)
     if na == 0 or nb == 0:
         return np.zeros((na, nb), bool)
     import jax
     import jax.numpy as jnp
     from ..core import iou as iou_mod
-    f = jax.jit(iou_mod.rotated_overlap_block)
-    areas = np.asarray(f(jnp.asarray(corners_a), jnp.asarray(corners_b)))
+    if _collide_jit is None:
+        _collide_jit = jax.jit(iou_mod.rotated_overlap_block)
+    areas = np.asarray(_collide_jit(jnp.asarray(corners_a),
+                                    jnp.asarray(corners_b)))
     return areas > 1e-6
 
 

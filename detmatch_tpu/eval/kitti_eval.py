@@ -203,6 +203,30 @@ def _overlap_matrix(det, gt, metric):
     return np.asarray(m)
 
 
+_OVERLAP_JIT = {}
+
+
+def _overlap_jit(metric):
+    """Jitted batched overlap program, ONE per metric for the process —
+    rebuilding the jit wrapper per :func:`precompute_overlaps` call
+    leaked a traced-program cache entry per eval and re-paid the
+    (tunnel-remote) compile on every evaluation instead of reusing the
+    same-shape executable."""
+    fn = _OVERLAP_JIT.get(metric)
+    if fn is None:
+        import jax
+        from ..core import geometry, iou as iou_mod
+        if metric == "bev":
+            def one(d, g):
+                return iou_mod.rotated_iou_bev(geometry.boxes_to_bev(d),
+                                               geometry.boxes_to_bev(g))
+        else:
+            def one(d, g):
+                return iou_mod.iou3d(d, g)
+        fn = _OVERLAP_JIT[metric] = jax.jit(jax.vmap(one))
+    return fn
+
+
 def precompute_overlaps(gt_annos, det_annos, metric, chunk=512):
     """All per-image (n_det, n_gt) overlap matrices in ONE padded,
     chunked, jitted IoU program instead of a fresh device launch per
@@ -233,15 +257,7 @@ def precompute_overlaps(gt_annos, det_annos, metric, chunk=512):
     dets = np.stack([pad(d["boxes3d"], dmax) for d in det_annos])
     gts = np.stack([pad(g["boxes3d"], gmax) for g in gt_annos])
 
-    if metric == "bev":
-        def one(d, g):
-            return iou_mod.rotated_iou_bev(geometry.boxes_to_bev(d),
-                                           geometry.boxes_to_bev(g))
-    else:
-        def one(d, g):
-            return iou_mod.iou3d(d, g)
-
-    batched = jax.jit(jax.vmap(one))
+    batched = _overlap_jit(metric)
     outs = []
     for s in range(0, n_img, chunk):
         db, gb = dets[s:s + chunk], gts[s:s + chunk]

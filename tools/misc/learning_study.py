@@ -224,20 +224,34 @@ SCORE_THRESH_3D = 0.01
 SCORE_THR_2D = 0.01
 
 
-def run_eval(cfg, ssl, vox, state, attempts=3):
+def run_eval(cfg, ssl, vox, state, attempts=3, cache=None, cache_key=None):
     from detmatch_tpu.apis import build
     from detmatch_tpu.apis.evaluate import eval_ssl
     from detmatch_tpu.data.collate import collate_view
 
+    # Crash resilience: evals of completed stages are pure functions of
+    # (data, checkpoint, floors) — persist them under the data root so a
+    # rerun after a tunnel hang re-evaluates only what it retrained.
+    if cache and cache_key:
+        path = os.path.join(cache, "evals.json")
+        stored = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = json.load(f)
+        if cache_key in stored:
+            print(f"[eval] reusing cached result {cache_key!r}",
+                  flush=True)
+            return stored[cache_key]
     val = build.build_dataset(cfg["data"]["val"],
                               rng=np.random.RandomState(0))
     ck = dict(cfg["data"].get("collate", {}))
     for a in range(attempts):
         try:
-            return eval_ssl(ssl, state, val,
-                            lambda s: collate_view(s, **ck), vox,
-                            score_thresh_3d=SCORE_THRESH_3D,
-                            score_thr_2d=SCORE_THR_2D)
+            res = eval_ssl(ssl, state, val,
+                           lambda s: collate_view(s, **ck), vox,
+                           score_thresh_3d=SCORE_THRESH_3D,
+                           score_thr_2d=SCORE_THR_2D)
+            break
         except jax.errors.JaxRuntimeError as e:
             # the remote-compile tunnel occasionally drops mid-read;
             # the computation is pure, so retrying is safe
@@ -245,6 +259,11 @@ def run_eval(cfg, ssl, vox, state, attempts=3):
                 raise
             print(f"[eval] transient backend failure (attempt {a + 1}):"
                   f" {e}; retrying", flush=True)
+    if cache and cache_key:
+        stored[cache_key] = {k: float(v) for k, v in res.items()}
+        with open(path, "w") as f:
+            json.dump(stored, f)
+    return res
 
 
 def init_state(cfg, seed=0):
@@ -303,17 +322,21 @@ def main():
     cfg_a = build_cfg(root, paths, args.iters, 0.0, wd_a, seed=0)
     cfg_b = build_cfg(root, paths, args.iters, 1.0, wd_b, seed=0)
 
+    cache = root if args.keep else None
     print("[eval] init", flush=True)
     ssl0, vox0, st0 = init_state(cfg_b, seed=0)
-    ap_init = run_eval(cfg_b, ssl0, vox0, st0)
+    ap_init = run_eval(cfg_b, ssl0, vox0, st0, cache=cache,
+                       cache_key="init")
 
     print(f"[train] A: labeled-only, {args.iters} iters", flush=True)
     ssl_a, vox_a, st_a = run_training(cfg_a, seed=0)
-    ap_a = run_eval(cfg_a, ssl_a, vox_a, st_a)
+    ap_a = run_eval(cfg_a, ssl_a, vox_a, st_a, cache=cache,
+                    cache_key=f"labonly@{args.iters}")
 
     print(f"[train] B: DetMatch SSL, {args.iters} iters", flush=True)
     ssl_b, vox_b, st_b = run_training(cfg_b, seed=0)
-    ap_b = run_eval(cfg_b, ssl_b, vox_b, st_b)
+    ap_b = run_eval(cfg_b, ssl_b, vox_b, st_b, cache=cache,
+                    cache_key=f"ssl@{args.iters}")
 
     key = "3d.mAP_3d_moderate"
     curve_a, curve_b = loss_curve(wd_a), loss_curve(wd_b)

@@ -34,7 +34,8 @@ shared_pipeline = [
     dict(type="LoadImage"),
     dict(type="LoadPoints", load_dim=4, use_dim=4),
     dict(type="ObjectSample", db_sampler=dict(
-        info_path="kitti_dbinfos_train.pkl",
+        info_path=("ssl_splits/kitti_dbinfos_train_lab_"
+                   "{frac_path}_{split}.pkl"),
         classes=class_names,
         sample_groups=dict(Car=15, Pedestrian=10, Cyclist=10),
         filter_by_min_points=dict(Car=5, Pedestrian=5, Cyclist=5),

@@ -6,9 +6,14 @@ _base_ = "../../../_base_/kitti_detmatch.py"
 task = "ssl"
 split = 0
 frac = "001"
+# pathname fraction, formatted the way the reference formats split_frac
+# ('{}'.format(0.01) -> "0.01"; README.md:36-38 filenames)
+frac_path = "0.01"
 data_root = "data/kitti/"
-train_lab_info = "ssl_splits/kitti_infos_train_lab_{frac}_{split}.pkl"
-train_unlab_info = "ssl_splits/kitti_infos_train_unlab_{frac}_{split}.pkl"
+train_lab_info = ("ssl_splits/"
+                  "kitti_infos_train_proj_3d_lab_{frac_path}_{split}.pkl")
+train_unlab_info = ("ssl_splits/"
+                    "kitti_infos_train_unlab_{frac_path}_{split}.pkl")
 
 batch_size = 4
 num_unlabeled_samples = 1

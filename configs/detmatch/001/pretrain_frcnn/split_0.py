@@ -7,6 +7,7 @@ _base_ = "../../../_base_/kitti_detmatch.py"
 task = "pretrain_2d"
 split = 0
 frac = "001"
+frac_path = "0.01"  # reference filename fraction (README.md:36-38)
 data_root = "data/kitti/"
 
 batch_size = 2
@@ -19,7 +20,8 @@ data = dict(
     train=dict(
         type="KittiDataset", data_root=data_root,
         ann_file=(data_root
-                  + "ssl_splits/kitti_infos_train_lab_{frac}_{split}.pkl"),
+                  + "ssl_splits/kitti_infos_train_proj_3d_lab_"
+                  + "{frac_path}_{split}.pkl"),
         completely_remove_other_classes=True,
         pipeline="${pretrain2d_pipeline}",
     ),

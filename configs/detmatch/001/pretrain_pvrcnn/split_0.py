@@ -7,6 +7,7 @@ _base_ = "../../../_base_/kitti_detmatch.py"
 task = "pretrain_3d"
 split = 0
 frac = "001"
+frac_path = "0.01"  # reference filename fraction (README.md:36-38)
 data_root = "data/kitti/"
 
 batch_size = 2
@@ -18,7 +19,8 @@ data = dict(
     train=dict(
         type="KittiDataset", data_root=data_root,
         ann_file=(data_root
-                  + "ssl_splits/kitti_infos_train_lab_{frac}_{split}.pkl"),
+                  + "ssl_splits/kitti_infos_train_proj_3d_lab_"
+                  + "{frac_path}_{split}.pkl"),
         completely_remove_other_classes=True,
         pipeline="${pretrain3d_pipeline}",
     ),
@@ -33,7 +35,8 @@ pretrain3d_pipeline = [
     dict(type="LoadImage"),
     dict(type="LoadPoints", load_dim=4, use_dim=4),
     dict(type="ObjectSample", db_sampler=dict(
-        info_path="kitti_dbinfos_train.pkl",
+        info_path=("ssl_splits/kitti_dbinfos_train_lab_"
+                   "{frac_path}_{split}.pkl"),
         classes=["Pedestrian", "Cyclist", "Car"],
         sample_groups=dict(Car=15, Pedestrian=10, Cyclist=10),
         filter_by_min_points=dict(Car=5, Pedestrian=5, Cyclist=5))),

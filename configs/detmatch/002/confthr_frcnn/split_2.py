@@ -1,3 +1,4 @@
 _base_ = "../../001/confthr_frcnn/split_2.py"
 
 frac = "002"
+frac_path = "0.02"

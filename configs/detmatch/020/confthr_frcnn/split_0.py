@@ -1,3 +1,4 @@
 _base_ = "../../001/confthr_frcnn/split_0.py"
 
 frac = "020"
+frac_path = "0.2"

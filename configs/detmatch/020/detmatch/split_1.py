@@ -1,3 +1,4 @@
 _base_ = "../../001/detmatch/split_1.py"
 
 frac = "020"
+frac_path = "0.2"

@@ -86,6 +86,38 @@ def eval_pvrcnn(model: PVRCNN, variables, ds, collate_fn, vox_spec,
 _JIT_CACHE: Dict[tuple, object] = {}
 
 
+def _config_key(model):
+    """Canonical, collision-free key for a flax module's CONFIG.
+
+    ``repr(model)`` is value-complete only for scalar/tuple/dict fields;
+    numpy arrays (repr truncates with '...') or arbitrary objects with
+    lossy reprs could let two differently-configured models collide and
+    silently share a program with the other's config baked in. So the
+    key is built from the dataclass fields directly, and any field type
+    this encoder does not PROVABLY serialize faithfully raises instead
+    of degrading to repr."""
+    import dataclasses
+
+    def enc(v):
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, (tuple, list)):
+            return ("seq",) + tuple(enc(x) for x in v)
+        if isinstance(v, dict):
+            return ("map",) + tuple(sorted(
+                (str(k), enc(x)) for k, x in v.items()))
+        if isinstance(v, type) or isinstance(v, np.dtype):
+            return ("dtype", np.dtype(v).str)
+        raise TypeError(
+            f"unhashable eval-cache config field {v!r} ({type(v)}); "
+            f"extend _config_key or the cache may silently collide")
+
+    fields = {f.name: getattr(model, f.name)
+              for f in dataclasses.fields(model)
+              if f.name not in ("parent", "name")}
+    return (type(model).__name__, enc(fields))
+
+
 def _jit_cached(tag, model, key_extra, make):
     """One jitted eval program per (model CONFIG, extras) — weights enter
     as a TRACED argument, not a closure constant. Closure-captured
@@ -93,17 +125,18 @@ def _jit_cached(tag, model, key_extra, make):
     different checkpoint (teacher vs student, init vs trained) forced a
     full re-compile — ~16 min per eval fanout on the remote-compile
     tunnel, where compiled programs are never persisted across or within
-    processes. Flax modules are not hashable when configured with dict
-    fields (test_nms), so the key is the module repr — deterministic and
-    config-complete — letting equal-config models share one program
+    processes. The key is the module's canonically-encoded config
+    (:func:`_config_key`), letting equal-config models share one program
     across build() calls (module apply is pure, so which equal-config
     instance traced it is irrelevant)."""
-    key = (tag, repr(model), key_extra)
+    key = (tag, _config_key(model), key_extra)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = _JIT_CACHE[key] = make()
         if len(_JIT_CACHE) > 32:  # bound: configs are few in practice
             _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+        fn = _JIT_CACHE[key] = make()
+    else:  # LRU, not FIFO: a hit keeps hot programs resident
+        _JIT_CACHE[key] = _JIT_CACHE.pop(key)
     return fn
 
 

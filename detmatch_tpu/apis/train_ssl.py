@@ -76,7 +76,7 @@ def _dump_vis(work_dir, step, vbatch, pseudo):
 
 def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
               work_dir, max_iters=5000, batch_size=4, lr_3d=None,
-              lr_2d=None, num_unlabeled=1, log_interval=10,
+              lr_2d=None, lr_scale=1.0, num_unlabeled=1, log_interval=10,
               ckpt_interval=5000, seed=0, mesh: Optional[Mesh] = None,
               resume_from: Optional[str] = None, warmup_iters=500,
               load_from: Dict[str, str] = None,
@@ -100,6 +100,9 @@ def train_ssl(ssl, vox_spec, lab_dataset, unlab_dataset, collate_fn,
         lr_3d = 1e-3 / 2 * batch_size * (1 + num_unlabeled) * 10
     if lr_2d is None:
         lr_2d = 2e-2 / 2 * batch_size * (1 + num_unlabeled)
+    # --autoscale-lr (reference tools/train.py:124-132): applied AFTER
+    # the batch-size recipe so it also scales the derived defaults
+    lr_3d, lr_2d = lr_3d * lr_scale, lr_2d * lr_scale
 
     # per-process loaders: under multi-host each process draws its own
     # samples (disjoint by seed) and feeds its local shard of the global

@@ -292,3 +292,102 @@ class KittiDataset:
         if self.pipeline is not None:
             results = self.pipeline(results)
         return results
+
+
+def export_2d_annotation(root, info_path, mono3d=True, out_path=None):
+    """Export COCO-format 2D annotations from an info pkl.
+
+    Reference ``tools/data_converter/kitti_converter.py:331-486``
+    (``export_2d_annotation`` + ``get_2d_boxes``): per non-DontCare
+    annotation (occluded state 0-3), the 2D box is the min/max of the
+    3D box's camera-frame corners projected through P2, clipped to the
+    image canvas (annotations whose projection misses the canvas are
+    dropped). ``mono3d`` adds the camera-frame 3D box (gravity-centered)
+    and the projected center+depth, dropping depth<=0 records.
+
+    Writes ``<info_path without .pkl>.coco.json`` (or ``out_path``) and
+    returns the COCO dict.
+    """
+    import json
+    import pickle
+
+    with open(info_path, "rb") as f:
+        infos = pickle.load(f)
+    categories = [dict(id=i, name=n) for i, n in enumerate(CLASS_NAMES)]
+    coco = dict(annotations=[], images=[], categories=categories)
+    ann_id = 0
+    for info in infos:
+        h, w = [int(x) for x in info["image"]["image_shape"][:2]]
+        P2 = np.asarray(info["calib"]["P2"], np.float64)[:3, :4]
+        coco["images"].append(dict(
+            file_name=info["image"]["image_path"],
+            id=int(info["image"]["image_idx"]),
+            Trv2c=np.asarray(info["calib"]["Tr_velo_to_cam"]).tolist(),
+            rect=np.asarray(info["calib"]["R0_rect"]).tolist(),
+            cam_intrinsic=P2.tolist(), width=w, height=h))
+        annos = info.get("annos")
+        if annos is None:
+            continue
+        for i in range(len(annos["name"])):
+            name = str(annos["name"][i])
+            if name == "DontCare" or int(annos["occluded"][i]) not in (
+                    0, 1, 2, 3):
+                continue
+            loc = np.asarray(annos["location"][i], np.float64)
+            l, hh, ww = [float(x) for x in annos["dimensions"][i]]
+            ry = float(annos["rotation_y"][i])
+            # gravity center (KITTI label loc is the bottom center)
+            ctr = loc + np.array([0.0, -hh / 2.0, 0.0])
+            # camera-frame corners: x right (l), y down (h), z forward (w)
+            dx, dy, dz = l / 2.0, hh / 2.0, ww / 2.0
+            sx = np.array([1, 1, 1, 1, -1, -1, -1, -1]) * dx
+            sy = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * dy
+            sz = np.array([1, -1, 1, -1, 1, -1, 1, -1]) * dz
+            c, s = np.cos(ry), np.sin(ry)
+            rx = c * sx + s * sz
+            rz = -s * sx + c * sz
+            corners = np.stack([ctr[0] + rx, ctr[1] + sy, ctr[2] + rz], 1)
+            front = corners[corners[:, 2] > 0]
+            if not len(front):
+                continue
+            uvw = front @ P2[:, :3].T + P2[:, 3]
+            uv = uvw[:, :2] / uvw[:, 2:3]
+            x1, y1 = uv.min(0)
+            x2, y2 = uv.max(0)
+            x1, x2 = np.clip([x1, x2], 0, w)
+            y1, y2 = np.clip([y1, y2], 0, h)
+            if x2 <= x1 or y2 <= y1:
+                continue  # projection misses the canvas
+            rec = dict(
+                file_name=info["image"]["image_path"],
+                image_id=int(info["image"]["image_idx"]),
+                area=float((x2 - x1) * (y2 - y1)),
+                category_name=name,
+                category_id=CLASS_NAMES.index(name)
+                if name in CLASS_NAMES else -1,
+                bbox=[float(x1), float(y1), float(x2 - x1),
+                      float(y2 - y1)],
+                iscrowd=0, segmentation=[], id=ann_id)
+            if mono3d:
+                # reference offsets x by (P2-P0) baseline; P0 has zero
+                # translation in KITTI, so offset = P2[0,3]/fx
+                loc3d = ctr + np.array([P2[0, 3] / P2[0, 0], 0.0, 0.0])
+                rec["bbox_cam3d"] = [*loc3d.tolist(), l, hh, ww, ry]
+                rec["velo_cam3d"] = -1
+                c3 = ctr @ P2[:, :3].T + P2[:, 3]
+                if c3[2] <= 0:
+                    continue
+                rec["center2d"] = [float(c3[0] / c3[2]),
+                                   float(c3[1] / c3[2]), float(c3[2])]
+                rec["attribute_name"] = -1
+                rec["attribute_id"] = -1
+            coco["annotations"].append(rec)
+            ann_id += 1
+    if out_path is None:
+        # reference naming (kitti_converter.py:371-375)
+        base = info_path[:-4] if info_path.endswith(".pkl") else info_path
+        out_path = base + ("_mono3d.coco.json" if mono3d
+                           else ".coco.json")
+    with open(out_path, "w") as f:
+        json.dump(coco, f)
+    return coco

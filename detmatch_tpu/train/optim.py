@@ -93,14 +93,62 @@ def sgd_momentum(lr_fn, momentum=0.9, weight_decay=1e-4):
     )
 
 
+class EveryKState(NamedTuple):
+    inner: Any
+    count: Any  # () int32
+
+
+def every_k_steps(inner: optax.GradientTransformation, k: int):
+    """Apply ``inner`` only every ``k``-th update, zero otherwise.
+
+    Reference ``HybridOptimizer.step_intervals``
+    (``mmdet3d/core/optimizer/hybrid_optimizer.py:87-93``): the counter
+    increments first, the group steps when ``count % k == 0`` — i.e. the
+    k-th, 2k-th, ... iterations, each using only THAT iteration's
+    gradient (mmcv zero_grads between iterations, so skipped iterations'
+    gradients are discarded, not accumulated). Skipped updates leave the
+    inner state (momenta, schedules) untouched.
+    """
+    if k == 1:
+        return inner
+
+    def init(params):
+        import jax.numpy as jnp
+        return EveryKState(inner.init(params), jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params=None, **kw):
+        import jax
+        import jax.numpy as jnp
+        count = state.count + 1
+        fire = (count % k) == 0
+
+        def do(_):
+            return inner.update(grads, state.inner, params, **kw)
+
+        def skip(_):
+            return jax.tree.map(jnp.zeros_like, grads), state.inner
+
+        updates, new_inner = jax.lax.cond(fire, do, skip, None)
+        return updates, EveryKState(new_inner, count)
+
+    return optax.GradientTransformation(init, update)
+
+
 def hybrid_optimizer(label_fn: Callable, transforms: Dict[str,
                                                           optax.GradientTransformation],
-                     clip_norm: float = 10.0):
+                     clip_norm: float = 10.0,
+                     step_intervals: Dict[str, int] = None):
     """Grad-clip + per-prefix optimizers (HybridOptimizer equivalent).
 
     Args:
         label_fn: params-pytree → same-tree of labels in ``transforms``.
+        step_intervals: optional per-label update interval (reference
+            ``step_interval``; every config ships 1, so the default is a
+            no-op wrapper-free path).
     """
+    if step_intervals:
+        transforms = {k: every_k_steps(tx, step_intervals.get(k, 1))
+                      for k, tx in transforms.items()}
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.multi_transform(transforms, label_fn),

@@ -17,7 +17,7 @@ def test_config_inheritance_and_interpolation():
         os.path.join(REPO, "configs/detmatch/002/detmatch/split_2.py"))
     assert c["frac"] == "002" and c["split"] == 2
     assert c["data"]["train_lab"]["dataset"]["ann_file"].endswith(
-        "kitti_infos_train_lab_002_2.pkl")
+        "kitti_infos_train_proj_3d_lab_0.02_2.pkl")
     # base fragments resolved through ${refs}
     assert isinstance(c["data"]["train_lab"]["shared_pipeline"], list)
     assert c["model"]["detector_3d"]["num_keypoints"] == 2048

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--val-split", default="ImageSets/val.txt")
     ap.add_argument("--skip-reduced", action="store_true")
     ap.add_argument("--skip-gt-db", action="store_true")
+    ap.add_argument("--export-2d", action="store_true",
+                    help="also export COCO-format 2D annotations "
+                         "(reference kitti_converter.export_2d_annotation)")
     args = ap.parse_args()
 
     from detmatch_tpu.data import dbsampler, kitti
@@ -67,6 +70,9 @@ def main():
                 dbsampler.create_gt_database(args.root, infos,
                                              classes=kitti.CLASS_NAMES)
                 print("wrote gt database")
+        if args.export_2d:
+            kitti.export_2d_annotation(args.root, out)
+            print(f"wrote 2D COCO annotations for {split_name}")
 
 
 if __name__ == "__main__":

@@ -232,6 +232,10 @@ def run_eval(cfg, ssl, vox, state, attempts=3, cache=None, cache_key=None):
     # Crash resilience: evals of completed stages are pure functions of
     # (data, checkpoint, floors) — persist them under the data root so a
     # rerun after a tunnel hang re-evaluates only what it retrained.
+    # The floors are folded into the key so a rerun after changing
+    # SCORE_THRESH_3D/SCORE_THR_2D never reuses stale APs.
+    if cache_key:
+        cache_key = f"{cache_key}@f{SCORE_THRESH_3D}/{SCORE_THR_2D}"
     if cache and cache_key:
         path = os.path.join(cache, "evals.json")
         stored = {}

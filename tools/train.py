@@ -48,6 +48,9 @@ def main():
                          "DETMATCH_COORDINATOR / run tools/dist_train.py)")
     ap.add_argument("--dist-num-processes", type=int, default=None)
     ap.add_argument("--dist-process-id", type=int, default=None)
+    ap.add_argument("--autoscale-lr", action="store_true",
+                    help="linear-scale learning rates by device_count/8 "
+                         "(reference tools/train.py:124-132)")
     args = ap.parse_args()
 
     from detmatch_tpu.parallel import init_distributed
@@ -61,6 +64,16 @@ def main():
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
     if args.max_iters:
         cfg["max_iters"] = args.max_iters
+    if args.autoscale_lr:
+        # linear scaling rule (arXiv:1706.02677), reference
+        # tools/train.py:124-132: every optimizer LR scales by the
+        # fraction of the 8-device reference fleet actually in use
+        import jax
+        scale = jax.device_count() / 8.0
+        for k in ("base_lr",):
+            if k in cfg:
+                cfg[k] = cfg[k] * scale
+        cfg["autoscale_lr_factor"] = scale
 
     from detmatch_tpu.apis import build
     rng = np.random.RandomState(args.seed)
@@ -82,6 +95,8 @@ def main():
                   lambda s: collate_ts(s, **ck), work_dir,
                   max_iters=cfg.get("max_iters", 5000),
                   batch_size=cfg.get("batch_size", 4),
+                  lr_3d=cfg.get("lr_3d"), lr_2d=cfg.get("lr_2d"),
+                  lr_scale=cfg.get("autoscale_lr_factor", 1.0),
                   num_unlabeled=cfg.get("num_unlabeled_samples", 1),
                   seed=args.seed, resume_from=args.resume_from,
                   load_from=cfg.get("load_from"),

@@ -74,8 +74,12 @@ def make_view(rng, b, p, canvas, with_gt=False):
               [0, 0, 0, 1]]], np.float32), (b, 1, 1))),
         aug3d=Aug3D(flip_x=jnp.zeros((b,)), rot=jnp.zeros((b,)),
                     scale=jnp.ones((b,)), trans=jnp.zeros((b, 3))),
+        # explicit dtype: jnp.full with a python scalar makes a
+        # WEAK-typed array, whose aval does not match a strong-f32
+        # ShapeDtypeStruct — one weak leaf silently recompiles every
+        # program warmed on abstract shapes (~7 min on this backend)
         aug2d=Aug2D(scale=jnp.ones((b, 4)), flip=jnp.zeros((b,)),
-                    img_w=jnp.full((b,), float(canvas[1]))),
+                    img_w=jnp.full((b,), canvas[1], dtype=jnp.float32)),
     )
     if with_gt:
         g, n = 40, 20
@@ -99,14 +103,60 @@ def make_view(rng, b, p, canvas, with_gt=False):
     return view
 
 
+def _abstract_view(b, p, canvas, with_gt=False):
+    """ShapeDtypeStruct twin of make_view — lets the whole program
+    pipeline be traced/lowered before any host-side data is built."""
+    sds = lambda sh, dt=jnp.float32: jax.ShapeDtypeStruct(sh, dt)  # noqa: E731
+    view = dict(
+        points=sds((b, p, 4)), points_valid=sds((b, p), jnp.bool_),
+        img=sds((b, *canvas, 3)), img_shape=sds((b, 2)),
+        ori_shape=sds((b, 2)), lidar2img=sds((b, 4, 4)),
+        aug3d=Aug3D(flip_x=sds((b,)), rot=sds((b,)), scale=sds((b,)),
+                    trans=sds((b, 3))),
+        aug2d=Aug2D(scale=sds((b, 4)), flip=sds((b,)), img_w=sds((b,))),
+    )
+    if with_gt:
+        g = 40
+        view.update(gt_boxes=sds((b, g, 8)), gt_boxes2d=sds((b, g, 4)),
+                    gt_labels2d=sds((b, g), jnp.int32),
+                    gt2d_valid=sds((b, g), jnp.bool_))
+    return view
+
+
 def ssl_step_bench(b=4, reduced=False, segmented=None, iters=5,
-                   rounds=3, log=print):
+                   rounds=3, log=print, deadline=None):
     """Time the full staged SSL train step; returns a result dict.
 
     segmented: None = try the fused concat stu3d, fall back to the
     3-program segmented path if its compile fails (the remote compile
     helper caps program size).
+
+    Cold-start layout. The driver runs this with an empty compile cache
+    under a hard kill budget, and on this backend (a) the persistent
+    compile cache gives no cross-process hits (the axon plugin salts the
+    key per process) and (b) AOT ``lower().compile()`` executables pay a
+    SECOND server-side compile (~300 s) on their first call — so the
+    only paths that pay compile exactly once are plain ``jax.jit``
+    first-calls. The critical path is therefore arranged as:
+      1. everything abstract first — eval_shape the init + teacher to
+         get every program's arg shapes with zero device work;
+      2. build zero-filled dummy args for all four programs with ONE
+         jitted program (per-leaf ``jnp.zeros`` would be ~700 serial
+         tunnel dispatches);
+      3. fire the four jit first-calls (trace + compile + execute)
+         CONCURRENTLY on dummy inputs — XLA compiles release the GIL,
+         so wall time is max, not sum;
+      4. while they compile, run the real parameter init on the LOCAL
+         CPU backend (eager initializer dispatch through the device
+         tunnel costs ~9 minutes; on-host it is seconds) and build the
+         host batch, then one bulk device_put.
+    deadline: wall-seconds budget from entry (env BENCH_DEADLINE,
+    default 540); timing rounds stop early rather than blow it.
+    Set BENCH_MFU=1 for the XLA cost-model MFU line (costs a full extra
+    compile pass on this backend, so off by default).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from .models.frcnn.faster_rcnn import FasterRCNN
     from .models.pvrcnn.pvrcnn import PVRCNN
     from .ssl.detector import SSLConfig, SSLDetector
@@ -114,31 +164,51 @@ def ssl_step_bench(b=4, reduced=False, segmented=None, iters=5,
                                  make_stu3d_segmented, voxelize_views)
     import optax
 
+    t_start = time.time()
+    if deadline is None:
+        deadline = float(os.environ.get("BENCH_DEADLINE", "540"))
     pv_cfg, fr_cfg, spec, canvas, p = production_cfg(reduced)
-    rng = np.random.RandomState(0)
-    batch = dict(
-        lab=dict(stu=make_view(rng, b, p, canvas, with_gt=True),
-                 tea=make_view(rng, b, p, canvas)),
-        unlab=dict(stu=make_view(rng, b, p, canvas),
-                   tea=make_view(rng, b, p, canvas)),
-    )
     ssl = SSLDetector(PVRCNN(**pv_cfg), FasterRCNN(**fr_cfg), SSLConfig())
-
-    key = jax.random.PRNGKey(0)
-    vbatch = voxelize_views(batch, spec)
-    lab3d = vbatch["lab"]["stu"]
-    t0 = time.time()
-    state = ssl.init_states(key, lab3d, lab3d["img"], lab3d["img_shape"])
-    log(f"[init {time.time() - t0:.0f}s]")
-
     tx3 = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(1e-3))
     tx2 = optax.chain(optax.clip_by_global_norm(10.0),
                       optax.sgd(1e-3, momentum=0.9))
-    opt3 = tx3.init(state["student"]["det3d"]["params"])
-    opt2 = tx2.init(state["student"]["det2d"]["params"])
-
     teacher_fn, stu3d_fn, stu2d_fn, ema_fn = make_ssl_train_fns_split(
         ssl, tx3, tx2, spec)
+
+    # ---- 1. abstract shapes (no device work at all) ----
+    t0 = time.time()
+    batch_sds = dict(
+        lab=dict(stu=_abstract_view(b, p, canvas, with_gt=True),
+                 tea=_abstract_view(b, p, canvas)),
+        unlab=dict(stu=_abstract_view(b, p, canvas),
+                   tea=_abstract_view(b, p, canvas)))
+    lab3d_sds = jax.eval_shape(
+        lambda bt: voxelize_views(bt, spec), batch_sds)["lab"]["stu"]
+    st_sds = jax.eval_shape(lambda: ssl.init_states(
+        jax.random.PRNGKey(0), lab3d_sds, lab3d_sds["img"],
+        lab3d_sds["img_shape"]))
+    opt3_sds = jax.eval_shape(tx3.init, st_sds["student"]["det3d"]["params"])
+    opt2_sds = jax.eval_shape(tx2.init, st_sds["student"]["det2d"]["params"])
+    pseudo_sds, vb_sds = jax.eval_shape(teacher_fn, st_sds["teacher"],
+                                        batch_sds)
+    log(f"[abstract setup {time.time() - t0:.0f}s]")
+
+    # ---- 2. one-program zero dummies for the warmup calls ----
+    t0 = time.time()
+    # the four warmup programs run concurrently and three of them DONATE
+    # (consume) inputs, so every donated tree gets its own zero copy:
+    # jt reads state.teacher; je donates teacher_ema and reads
+    # state.student; j3 donates det3d_tr+opt3; j2 donates det2d_tr+opt2.
+    dummy_sds = dict(state=st_sds, opt3=opt3_sds, opt2=opt2_sds,
+                     batch=batch_sds, vb=vb_sds, pseudo=pseudo_sds,
+                     teacher_ema=st_sds["teacher"],
+                     det3d_tr=st_sds["student"]["det3d"],
+                     det2d_tr=st_sds["student"]["det2d"])
+    dummy = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), dummy_sds))()
+    jax.block_until_ready(dummy)
+    log(f"[dummies {time.time() - t0:.0f}s]")
+
     # donate the consumed state/opt buffers: chained iterations then
     # recycle memory in place instead of queueing fresh allocations
     # (un-donated, >=2 in-flight iterations exhaust the 16G HBM at
@@ -146,112 +216,142 @@ def ssl_step_bench(b=4, reduced=False, segmented=None, iters=5,
     jt = jax.jit(teacher_fn)
     j2 = jax.jit(stu2d_fn, donate_argnums=(0, 1))
     je = jax.jit(ema_fn, donate_argnums=(0,))
+    key = jax.random.PRNGKey(0)
+    it0 = jnp.int32(0)
 
-    def _sds(tree):
-        return jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
-                                           jnp.result_type(x)), tree)
+    # ---- 3. concurrent first-calls (trace+compile+execute) ----
+    def _warm(name, fn, *args):
+        tc = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        log(f"[warm {name} {time.time() - tc:.0f}s]")
+        return out
 
-    t0 = time.time()
-    pseudo, vb = jt(state["teacher"], batch)
-    jax.block_until_ready(pseudo)
-    log(f"[compile teacher {time.time() - t0:.0f}s]")
-
-    # abstract arg shapes for the MFU cost analysis (captured before the
-    # donating executions consume the concrete buffers)
-    sds = dict(
-        jt=_sds((state["teacher"], batch)),
-        j3=_sds((state["student"]["det3d"], opt3, vb, pseudo,
-                 jnp.int32(0), key)),
-        j2=_sds((state["student"]["det2d"], opt2, vb, pseudo,
-                 jnp.int32(0), key)),
-        je=_sds((state["teacher"],
-                 dict(det3d=state["student"]["det3d"],
-                      det2d=state["student"]["det2d"]), jnp.int32(0))),
-    )
-
-    j3 = None
+    ex = ThreadPoolExecutor(4)
+    ft = ex.submit(_warm, "teacher", jt, dummy["state"]["teacher"],
+                   dummy["batch"])
+    f2 = ex.submit(_warm, "stu2d", j2, dummy["det2d_tr"],
+                   dummy["opt2"], dummy["vb"], dummy["pseudo"], it0, key)
+    fe = ex.submit(_warm, "ema", je, dummy["teacher_ema"],
+                   dummy["state"]["student"], it0)
+    f3 = None
     if segmented is not True:
+        j3 = jax.jit(stu3d_fn, donate_argnums=(0, 1))
+        f3 = ex.submit(_warm, "stu3d(fused)", j3,
+                       dummy["det3d_tr"], dummy["opt3"],
+                       dummy["vb"], dummy["pseudo"], it0, key)
+
+    # ---- 4. real init on the CPU backend while XLA compiles ----
+    t0 = time.time()
+    rng = np.random.RandomState(0)
+    batch = dict(
+        lab=dict(stu=make_view(rng, b, p, canvas, with_gt=True),
+                 tea=make_view(rng, b, p, canvas)),
+        unlab=dict(stu=make_view(rng, b, p, canvas),
+                   tea=make_view(rng, b, p, canvas)))
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state = ssl.init_states(jax.random.PRNGKey(0), lab3d_sds,
+                                lab3d_sds["img"], lab3d_sds["img_shape"])
+        opt3 = tx3.init(state["student"]["det3d"]["params"])
+        opt2 = tx2.init(state["student"]["det2d"]["params"])
+    # transfer via an identity jit, NOT device_put(x, device): explicitly
+    # committed arrays key differently in the jit executable cache, so a
+    # device_put state would silently RECOMPILE every warmed program
+    # (~7 min). Identity-jit outputs are committed exactly like the
+    # dummy warmup args (also jit outputs), guaranteeing cache hits.
+    state, opt3, opt2 = jax.jit(lambda s, a, b: (s, a, b))(
+        state, opt3, opt2)
+    jax.block_until_ready(state)
+    log(f"[batch+init(cpu)+transfer {time.time() - t0:.0f}s]")
+
+    ft.result(), f2.result(), fe.result()
+    c3 = None
+    if f3 is not None:
         try:
-            t0 = time.time()
-            j3 = jax.jit(stu3d_fn, donate_argnums=(0, 1))
-            v3, o3, l3 = j3(state["student"]["det3d"], opt3, vb, pseudo,
-                            jnp.int32(0), key)
-            jax.block_until_ready(l3)
-            log(f"[compile stu3d(fused) {time.time() - t0:.0f}s] "
-                f"loss={float(l3['loss']):.3f}")
-        except Exception as e:  # compile-size cap → segmented fallback
+            f3.result()
+            c3 = j3
+        except Exception as e:  # compile-size cap -> segmented fallback
             log(f"[fused stu3d failed: {type(e).__name__}; "
                 f"falling back to segmented]")
-            j3 = None
-    if j3 is None:
-        t0 = time.time()
-        j3 = make_stu3d_segmented(ssl, tx3)
-        v3, o3, l3 = j3(state["student"]["det3d"], opt3, vb, pseudo,
-                        jnp.int32(0), key)
-        jax.block_until_ready(l3)
-        log(f"[compile stu3d(segmented) {time.time() - t0:.0f}s] "
-            f"loss={float(l3['loss']):.3f}")
+    if c3 is None:
+        c3 = make_stu3d_segmented(ssl, tx3)
+    ex.shutdown(wait=False)
+    del dummy
+    log(f"[all programs ready at t+{time.time() - t_start:.0f}s]")
 
-    t0 = time.time()
-    v2, o2, l2 = j2(state["student"]["det2d"], opt2, vb, pseudo,
-                    jnp.int32(0), key)
-    jax.block_until_ready(l2)
-    log(f"[compile stu2d {time.time() - t0:.0f}s] "
-        f"loss={float(l2['loss']):.3f}")
-    t0 = time.time()
-    tea = je(state["teacher"], {"det3d": v3, "det2d": v2}, jnp.int32(0))
-    jax.block_until_ready(tea)
-    log(f"[compile ema {time.time() - t0:.0f}s]")
-
-    def one_iter(state, opt3, opt2, it):
-        pseudo, vb = jt(state["teacher"], batch)
-        v3, opt3, l3 = j3(state["student"]["det3d"], opt3, vb, pseudo,
-                          it, key)
-        v2, opt2, l2 = j2(state["student"]["det2d"], opt2, vb, pseudo,
-                          it, key)
+    def one_iter(st, q3, q2, it):
+        pseudo, vb = jt(st["teacher"], batch)
+        v3, q3, l3_ = c3(st["student"]["det3d"], q3, vb, pseudo, it, key)
+        v2, q2, l2_ = j2(st["student"]["det2d"], q2, vb, pseudo, it, key)
         student = {"det3d": v3, "det2d": v2}
-        teacher = je(state["teacher"], student, it)
-        return ({"student": student, "teacher": teacher}, opt3, opt2,
-                l3, l2)
+        teacher = je(st["teacher"], student, it)
+        return ({"student": student, "teacher": teacher}, q3, q2,
+                l3_, l2_)
 
-    # the donating compile-phase calls consumed the original
-    # state/opt buffers; chain from their outputs
-    st = {"student": {"det3d": v3, "det2d": v2}, "teacher": tea}
-    q3, q2 = o3, o2
+    # first REAL iteration: consumes the donated init buffers, checks
+    # the losses are finite, and absorbs any residual first-call cost
+    st, q3, q2, l3_, l2_ = one_iter(state, opt3, opt2, it0)
+    jax.block_until_ready(l3_["loss"])
+    log(f"[real step ok t+{time.time() - t_start:.0f}s] "
+        f"loss3d={float(l3_['loss']):.3f} loss2d={float(l2_['loss']):.3f}")
+    # tripwire: the real args MUST hit the warmed executables — one
+    # aval mismatch (e.g. a weak-typed leaf) silently recompiles for
+    # minutes; surface it instead of mysteriously blowing the deadline
+    sizes = {"teacher": jt._cache_size(), "stu2d": j2._cache_size(),
+             "ema": je._cache_size()}
+    if hasattr(c3, "_cache_size"):
+        sizes["stu3d"] = c3._cache_size()
+    recompiled = [k for k, v in sizes.items() if v > 1]
+    if recompiled:
+        log(f"[WARN: warmup cache MISSED for {recompiled} — real args "
+            f"recompiled; check aval/weak-type/committedness drift]")
+
     best = None
-    for _ in range(rounds):
+    for r in range(rounds):
         t0 = time.perf_counter()
         for i in range(iters):
-            st, q3, q2, l3, l2 = one_iter(st, q3, q2, jnp.int32(i))
-        jax.block_until_ready(l3["loss"])
+            st, q3, q2, l3_, l2_ = one_iter(st, q3, q2, jnp.int32(i))
+        jax.block_until_ready(l3_["loss"])
         d = (time.perf_counter() - t0) / iters
         best = d if best is None else min(best, d)
+        remaining = deadline - (time.time() - t_start)
+        if remaining < iters * best * 1.5 and r + 1 < rounds:
+            log(f"[deadline: stopping after round {r + 1}/{rounds}]")
+            break
     sps = 2 * b / best
     log(f"SSL step: {best * 1e3:.0f} ms/iter -> {1.0 / best:.2f} iters/s "
         f"(batch {b}+{b}); {sps:.1f} samples/s/chip")
 
-    # MFU estimate from XLA's own cost model (flops of the compiled
-    # programs; persistent cache makes the relowering cheap). v5e peak:
-    # 197 TFLOP/s bf16 — f32 convs/matmuls run as bf16 passes on TPU.
+    # MFU from XLA's cost model. Costs a full second compile pass on
+    # this backend (no persistent-cache hits), so opt-in only.
     mfu = None
-    try:
-        flops = 0.0
-        progs = [(jt, sds["jt"]), (j2, sds["j2"]), (je, sds["je"])]
-        if hasattr(j3, "lower"):
-            progs.append((j3, sds["j3"]))
-        for fn, args in progs:
-            ca = fn.lower(*args).compile().cost_analysis()
-            if isinstance(ca, list):
-                ca = ca[0]
-            flops += float(ca.get("flops", 0.0))
-        if not hasattr(j3, "lower"):
-            log("[MFU excludes the segmented stu3d programs]")
-        mfu = flops / best / 197e12
-        log(f"~{flops / 1e12:.2f} TFLOP/iter -> MFU ~{mfu * 100:.1f}% "
-            f"of v5e bf16 peak")
-    except Exception as e:  # cost model optional
-        log(f"[cost_analysis unavailable: {type(e).__name__}]")
+    if os.environ.get("BENCH_MFU", "0") == "1":
+        try:
+            flops = 0.0
+            progs = [(jt, (st_sds["teacher"], batch_sds)),
+                     (j2, (st_sds["student"]["det2d"], opt2_sds, vb_sds,
+                           pseudo_sds, jax.ShapeDtypeStruct((), jnp.int32),
+                           jax.ShapeDtypeStruct((2,), jnp.uint32))),
+                     (je, (st_sds["teacher"], st_sds["student"],
+                           jax.ShapeDtypeStruct((), jnp.int32)))]
+            if hasattr(c3, "lower"):
+                progs.append((c3, (st_sds["student"]["det3d"], opt3_sds,
+                                   vb_sds, pseudo_sds,
+                                   jax.ShapeDtypeStruct((), jnp.int32),
+                                   jax.ShapeDtypeStruct((2,), jnp.uint32))))
+            else:
+                log("[MFU excludes the segmented stu3d programs]")
+            for fn, args in progs:
+                ca = fn.lower(*args).compile().cost_analysis()
+                if isinstance(ca, list):
+                    ca = ca[0]
+                flops += float(ca.get("flops", 0.0))
+            mfu = flops / best / 197e12
+            log(f"~{flops / 1e12:.2f} TFLOP/iter -> MFU ~{mfu * 100:.1f}% "
+                f"of v5e bf16 peak")
+        except Exception as e:  # cost model optional
+            log(f"[cost_analysis unavailable: {type(e).__name__}]")
     return dict(sec_per_iter=best, iters_per_sec=1.0 / best,
                 samples_per_sec=sps, mfu=mfu,
                 vs_ref_per_device=sps / REF_SSL_SAMPLES_PER_SEC_PER_GPU)

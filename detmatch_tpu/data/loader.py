@@ -35,8 +35,22 @@ class Loader:
 
     def _index_stream(self):
         n = len(self.dataset)
+        if n == 0:
+            raise ValueError("Loader: empty dataset")
         while True:
             order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+            if n < self.batch_size:
+                # smaller-than-batch dataset: tile the epoch so a batch
+                # can always be formed. Without this, drop_last's
+                # `range(0, n - bs + 1, bs)` is EMPTY and the index
+                # stream spins forever producing nothing — the consumer
+                # deadlocks on queue.get with no error.
+                reps = -(-self.batch_size // n)
+                order = np.concatenate([
+                    self.rng.permutation(n) if self.shuffle
+                    else np.arange(n) for _ in range(reps)])
+                yield order[:self.batch_size]
+                continue
             for i in range(0, n - (self.batch_size - 1 if self.drop_last
                                    else 0), self.batch_size):
                 yield order[i:i + self.batch_size]

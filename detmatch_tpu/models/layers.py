@@ -65,16 +65,21 @@ class MaskedBatchNorm(nn.Module):
 
 
 class MLP(nn.Module):
-    """Pointwise Linear+BN+ReLU stack over the last axis (masked)."""
+    """Pointwise Linear+BN+ReLU stack over the last axis (masked).
+
+    ``eps`` mirrors the torch module being twinned: the reference's
+    ``make_fc_layers`` BatchNorm1d keeps the torch default 1e-5
+    (``point_head_template.py:36-46``), unlike the backbone's 1e-3."""
     features: Sequence[int]
     use_running_average: bool = False
+    eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x, mask=None, use_running_average=None):
         for i, f in enumerate(self.features):
             x = nn.Dense(f, use_bias=False, name=f"dense{i}")(x)
             x = MaskedBatchNorm(
-                name=f"bn{i}",
+                name=f"bn{i}", eps=self.eps,
                 use_running_average=self.use_running_average,
             )(x, mask=mask, use_running_average=use_running_average)
             x = nn.relu(x)

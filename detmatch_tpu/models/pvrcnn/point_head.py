@@ -29,7 +29,7 @@ class PointHeadSimple(nn.Module):
     def __call__(self, point_features, kp_valid, train: bool = False):
         """point_features: (B, M, C) (before-fusion features per config
         USE_POINT_FEATURES_BEFORE_FUSION=True) → logits (B, M, 1)."""
-        x = MLP(self.cls_fc, name="cls_mlp",
+        x = MLP(self.cls_fc, name="cls_mlp", eps=1e-5,
                 use_running_average=self.use_running_average)(
             point_features, mask=kp_valid, use_running_average=not train)
         logits = nn.Dense(1, name="cls_out")(x)

@@ -222,7 +222,14 @@ def assign_roi_targets(rng_key, proposals, gt_boxes, cfg=None):
 
 
 def decode_roi_boxes(rois, rcnn_reg):
-    """generate_predicted_boxes (``roi_head_template.py:235-260``)."""
+    """generate_predicted_boxes (``roi_head_template.py:235-260``).
+
+    ``local_roi`` keeps the RoI heading, so the coder's heading decode
+    (rg = rt + ra) ALREADY yields rt + roi_yaw — adding the yaw again
+    here over-rotated every refined box by its RoI heading (caught by
+    ``tests/test_pvrcnn_full_torch_parity.py::test_roi_head_parity``:
+    BEV orientation systematically wrong at eval while the reg loss,
+    which encodes canonically, stayed healthy)."""
     coder = ResidualCoder()
     local_roi = jnp.concatenate(
         [jnp.zeros_like(rois[..., 0:3]), rois[..., 3:7]], axis=-1)
@@ -232,8 +239,7 @@ def decode_roi_boxes(rois, rcnn_reg):
         dec[..., 0:3].reshape(b * n, 1, 3),
         rois[..., 6].reshape(-1)).reshape(b, n, 3)
     center = rot + rois[..., 0:3]
-    heading = dec[..., 6:7] + rois[..., 6:7]
-    return jnp.concatenate([center, dec[..., 3:6], heading], axis=-1)
+    return jnp.concatenate([center, dec[..., 3:]], axis=-1)
 
 
 def roi_head_loss_terms(rcnn_cls, rcnn_reg, targets, loss_weights=None):
@@ -342,15 +348,20 @@ class PVRCNNHead(nn.Module):
                            ns=ns, mlp=mlp):
                 slot_valid = (jnp.arange(ns)[None, None, :]
                               < cnt_[..., None])
-                out = SAGroupMLP(tuple(mlp), name=f"pool_mlp{gi}",
-                                 dtype=mdl.dtype,
-                                 use_running_average=mdl.use_running_average)(
+                out, empty = SAGroupMLP(
+                    tuple(mlp), name=f"pool_mlp{gi}", dtype=mdl.dtype,
+                    use_running_average=mdl.use_running_average)(
                     grid_, kp_, pf_, idx_, slot_valid, cnt_,
-                    use_running_average=not train)
+                    use_running_average=not train,
+                    return_empty_const=True)
                 out = jnp.where(slot_valid[..., None], out,
                                 jnp.asarray(-1e10, out.dtype))
                 pooled = jnp.max(out, axis=2)
-                return jnp.where((cnt_ > 0)[..., None], pooled, 0.0)
+                # eval: reference empty-ball constant MLP_stack(0)
+                # (see SAGroupMLP); train: clean zero for masked BN
+                fill = (empty[None, None].astype(pooled.dtype)
+                        if not train else jnp.zeros((), pooled.dtype))
+                return jnp.where((cnt_ > 0)[..., None], pooled, fill)
 
             outs.append(nn.remat(pool_group)(
                 self, grid, keypoints, pf, idx, cnt))
@@ -367,7 +378,7 @@ class PVRCNNHead(nn.Module):
             x = nn.Dense(f, use_bias=False, name=f"shared_fc{i}",
                          dtype=self.dtype)(x)
             x = MaskedBatchNorm(
-                name=f"shared_bn{i}",
+                name=f"shared_bn{i}", eps=1e-5,
                 use_running_average=self.use_running_average)(
                 x, use_running_average=not train)
             x = nn.relu(x)
@@ -380,7 +391,7 @@ class PVRCNNHead(nn.Module):
                 x = nn.Dense(f, use_bias=False, name=f"{name}_fc{i}",
                              dtype=self.dtype)(x)
                 x = MaskedBatchNorm(
-                    name=f"{name}_bn{i}",
+                    name=f"{name}_bn{i}", eps=1e-5,
                     use_running_average=self.use_running_average)(
                     x, use_running_average=not train)
                 x = nn.relu(x)

@@ -140,7 +140,7 @@ class SAGroupMLP(nn.Module):
 
     @nn.compact
     def __call__(self, keypoints, xyz, feats, idx, slot_valid, cnt,
-                 use_running_average=None):
+                 use_running_average=None, return_empty_const=False):
         b, m = keypoints.shape[:2]
         d0 = nn.Dense(self.features[0], use_bias=False, name="dense0")
         if feats is not None and feats.shape[-1] > 0:
@@ -161,15 +161,34 @@ class SAGroupMLP(nn.Module):
             cen = cen.astype(self.dtype)
         z = pointnet.gather_rows(pre, idx) - cen[:, :, None, :]
         x = jnp.where(slot_valid[..., None], z, 0.0)
+        # reference empty-ball semantics (QueryAndGroup zeroes the
+        # grouped input of an empty ball, then the MLP stack still runs:
+        # each BatchNorm's affine shifts the zeros — pointnet2_utils.py:
+        # 137-153 + pointnet2_modules.py:76-94): propagate a zero row
+        # through the SAME layers so callers can substitute
+        # MLP_stack(0) for empty balls at eval time.
+        e = (jnp.zeros((1, 1, 1, self.features[0]), jnp.float32)
+             if return_empty_const else None)
         for i, f in enumerate(self.features):
             if i > 0:
-                x = nn.Dense(f, use_bias=False, name=f"dense{i}",
-                             dtype=self.dtype)(x)
-            x = MaskedBatchNorm(
-                name=f"bn{i}",
+                d = nn.Dense(f, use_bias=False, name=f"dense{i}",
+                             dtype=self.dtype)
+                x = d(x)
+                if e is not None:
+                    e = d(e)
+            # reference SA mlps use torch-default BN eps 1e-5
+            # (StackSAModuleMSG BatchNorm2d, pointnet2_modules.py:38)
+            bn = MaskedBatchNorm(
+                name=f"bn{i}", eps=1e-5,
                 use_running_average=self.use_running_average,
-            )(x, mask=slot_valid, use_running_average=use_running_average)
+            )
+            x = bn(x, mask=slot_valid, use_running_average=use_running_average)
             x = nn.relu(x)
+            if e is not None:
+                # eval-only affine (running stats; no stat update)
+                e = nn.relu(bn(e, mask=None, use_running_average=True))
+        if return_empty_const:
+            return x, (e[0, 0, 0] if e is not None else None)
         return x
 
 
@@ -204,15 +223,20 @@ class SABranch(nn.Module):
         for gi, ((idx, cnt), ns, mlp) in enumerate(
                 zip(idx_cnt, self.nsamples, self.mlps)):
             slot_valid = (jnp.arange(ns)[None, None, :] < cnt[..., None])
-            out = SAGroupMLP(tuple(mlp), name=f"mlp{gi}",
-                             dtype=self.dtype,
-                             use_running_average=self.use_running_average)(
+            out, empty = SAGroupMLP(
+                tuple(mlp), name=f"mlp{gi}", dtype=self.dtype,
+                use_running_average=self.use_running_average)(
                 keypoints, xyz, feats, idx, slot_valid, cnt,
-                use_running_average=not train)
+                use_running_average=not train, return_empty_const=True)
             out = jnp.where(slot_valid[..., None], out,
                             jnp.asarray(-pointnet.BIG_DIST, out.dtype))
             pooled = jnp.max(out, axis=2)  # (B, M, C')
-            pooled = jnp.where((cnt > 0)[..., None], pooled, 0.0)
+            # empty balls: eval matches the reference's MLP_stack(0)
+            # constant (see SAGroupMLP); train keeps the clean zero so
+            # masked-BN statistics stay padding-free
+            fill = (empty[None, None].astype(pooled.dtype)
+                    if not train else jnp.zeros((), pooled.dtype))
+            pooled = jnp.where((cnt > 0)[..., None], pooled, fill)
             outs.append(pooled.astype(jnp.float32))
         return jnp.concatenate(outs, axis=-1)
 
@@ -314,7 +338,7 @@ class VoxelSetAbstraction(nn.Module):
         fused = nn.Dense(self.num_out_features, use_bias=False,
                          name="fusion")(before_fusion)
         fused = MaskedBatchNorm(
-            name="fusion_bn",
+            name="fusion_bn", eps=1e-5,
             use_running_average=self.use_running_average,
         )(fused, mask=kp_valid, use_running_average=not train)
         fused = nn.relu(fused)

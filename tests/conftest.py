@@ -39,3 +39,33 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu", jax.devices()
     assert len(jax.devices()) == 8
+
+
+_SESSION_T0 = None
+CORE_TIER_BUDGET_S = 600  # pytest.ini's promise: core tier < 10 min
+
+
+def pytest_sessionstart(session):
+    global _SESSION_T0
+    import time
+    _SESSION_T0 = time.time()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Keep the core tier honest: if `-m "not slow"` (the advertised
+    core tier) overruns its 10-minute budget on this host, fail the
+    session — a tier developers stop running is a tier that stops
+    catching anything. Opt out for debugging with
+    DETMATCH_NO_TIER_BUDGET=1."""
+    import time
+    if os.environ.get("DETMATCH_NO_TIER_BUDGET") == "1":
+        return
+    markexpr = getattr(session.config.option, "markexpr", "") or ""
+    if "not slow" not in markexpr.replace("'", "").replace('"', ""):
+        return
+    elapsed = time.time() - _SESSION_T0
+    if elapsed > CORE_TIER_BUDGET_S and exitstatus == 0:
+        print(f"\nCORE TIER OVER BUDGET: {elapsed:.0f}s > "
+              f"{CORE_TIER_BUDGET_S}s — demote something to the slow "
+              f"tier (pytest.ini promise).")
+        session.exitstatus = 1

@@ -98,10 +98,22 @@ def _hc_perm(z, c):
     return perm
 
 
-def convert_pvrcnn(sd, hc_z=2, hc_c=128, grid_size=6):
-    """pcdet PV-RCNN state_dict → (params, batch_stats) for our PVRCNN."""
+def convert_pvrcnn(sd, hc_z=2, hc_c=128, grid_size=6, sections=None):
+    """pcdet PV-RCNN state_dict → (params, batch_stats) for our PVRCNN.
+
+    ``sections``: optional subset of {'backbone_3d', 'backbone_2d',
+    'dense_head', 'pfe', 'point_head', 'roi_head'} to convert (default
+    all) — lets partial checkpoints / per-module parity tests convert
+    only the keys they carry.
+    """
     sd = {k: v for k, v in sd.items()}
+    if sections is None:
+        sections = ("backbone_3d", "backbone_2d", "dense_head", "pfe",
+                    "point_head", "roi_head")
     params, stats = {}, {}
+
+    def have(section):
+        return section in sections
 
     def put(path, p, s=None):
         node_p, node_s = params, stats
@@ -117,139 +129,145 @@ def convert_pvrcnn(sd, hc_z=2, hc_c=128, grid_size=6):
         put(path, p, s)
 
     # ---- backbone_3d ----
-    b3 = ["backbone3d"]
-    put(b3 + ["conv_input_w"], _spconv_w(sd, "backbone_3d.conv_input.0"))
-    put_bn(b3 + ["conv_input_bn"], "backbone_3d.conv_input.1")
-    put(b3 + ["conv1_0_w"], _spconv_w(sd, "backbone_3d.conv1.0.0"))
-    put_bn(b3 + ["conv1_0_bn"], "backbone_3d.conv1.0.1")
-    for lvl in (2, 3, 4):
-        put(b3 + [f"conv{lvl}_down_w"],
-            _spconv_w(sd, f"backbone_3d.conv{lvl}.0.0"))
-        put_bn(b3 + [f"conv{lvl}_down_bn"], f"backbone_3d.conv{lvl}.0.1")
-        for j in (0, 1):
-            put(b3 + [f"conv{lvl}_{j}_w"],
-                _spconv_w(sd, f"backbone_3d.conv{lvl}.{j + 1}.0"))
-            put_bn(b3 + [f"conv{lvl}_{j}_bn"],
-                   f"backbone_3d.conv{lvl}.{j + 1}.1")
-    put(b3 + ["conv_out_w"], _spconv_w(sd, "backbone_3d.conv_out.0"))
-    put_bn(b3 + ["conv_out_bn"], "backbone_3d.conv_out.1")
+    if have("backbone_3d"):
+        b3 = ["backbone3d"]
+        put(b3 + ["conv_input_w"], _spconv_w(sd, "backbone_3d.conv_input.0"))
+        put_bn(b3 + ["conv_input_bn"], "backbone_3d.conv_input.1")
+        put(b3 + ["conv1_0_w"], _spconv_w(sd, "backbone_3d.conv1.0.0"))
+        put_bn(b3 + ["conv1_0_bn"], "backbone_3d.conv1.0.1")
+        for lvl in (2, 3, 4):
+            put(b3 + [f"conv{lvl}_down_w"],
+                _spconv_w(sd, f"backbone_3d.conv{lvl}.0.0"))
+            put_bn(b3 + [f"conv{lvl}_down_bn"], f"backbone_3d.conv{lvl}.0.1")
+            for j in (0, 1):
+                put(b3 + [f"conv{lvl}_{j}_w"],
+                    _spconv_w(sd, f"backbone_3d.conv{lvl}.{j + 1}.0"))
+                put_bn(b3 + [f"conv{lvl}_{j}_bn"],
+                       f"backbone_3d.conv{lvl}.{j + 1}.1")
+        put(b3 + ["conv_out_w"], _spconv_w(sd, "backbone_3d.conv_out.0"))
+        put_bn(b3 + ["conv_out_bn"], "backbone_3d.conv_out.1")
 
     # ---- backbone_2d (BaseBEVBackbone) ----
-    # reference blocks.i: [ZeroPad2d, Conv2d, BN, ReLU] + n x [Conv2d, BN,
-    # ReLU] (base_bev_backbone.py:34-60): conv at idx 1, 4, 7, ...
-    hc = _hc_perm(hc_z, hc_c)
-    for i in (0, 1):
-        n_layers = 5
-        conv = _conv2d(sd, f"backbone_2d.blocks.{i}.1")
-        if i == 0:  # consumes the HeightCompression output
-            conv["kernel"] = conv["kernel"][:, :, hc, :]
-        p, s = _bn(sd, f"backbone_2d.blocks.{i}.2")
-        put(["backbone2d", f"block{i}_0", "conv"], conv)
-        put(["backbone2d", f"block{i}_0", "bn"], p, s)
-        for j in range(n_layers):
-            idx = 4 + j * 3
-            put(["backbone2d", f"block{i}_{j + 1}", "conv"],
-                _conv2d(sd, f"backbone_2d.blocks.{i}.{idx}"))
-            pb, sb = _bn(sd, f"backbone_2d.blocks.{i}.{idx + 1}")
-            put(["backbone2d", f"block{i}_{j + 1}", "bn"], pb, sb)
-        # deblocks.i: [ConvTranspose2d, BN, ReLU] — the reference uses
-        # ConvTranspose2d for every upsample stride >= 1
-        # (base_bev_backbone.py:60-71), so the weight layout is
-        # (in, out, kh, kw) in BOTH cases. A stride-1 1x1 ConvTranspose
-        # equals a 1x1 Conv with the (kh, kw, in, out) reshape; verified
-        # numerically vs the real torch module in
-        # tests/test_torch_model_parity.py.
-        # torch ConvTranspose2d is the gradient-of-conv (spatially
-        # flipped kernel); flax nn.ConvTranspose(transpose_kernel=False)
-        # applies the kernel unflipped — mirror the spatial axes.
-        wt = _np(sd[f"backbone_2d.deblocks.{i}.0.weight"])
-        put(["backbone2d", f"deblock{i}", "conv"],
-            {"kernel": wt.transpose(2, 3, 0, 1)[::-1, ::-1].copy()})
-        pb, sb = _bn(sd, f"backbone_2d.deblocks.{i}.1")
-        put(["backbone2d", f"deblock{i}", "bn"], pb, sb)
+    hc = _hc_perm(hc_z, hc_c)  # shared by backbone_2d + pfe fusion
+    if have("backbone_2d"):
+        # reference blocks.i: [ZeroPad2d, Conv2d, BN, ReLU] + n x [Conv2d, BN,
+        # ReLU] (base_bev_backbone.py:34-60): conv at idx 1, 4, 7, ...
+        for i in (0, 1):
+            n_layers = 5
+            conv = _conv2d(sd, f"backbone_2d.blocks.{i}.1")
+            if i == 0:  # consumes the HeightCompression output
+                conv["kernel"] = conv["kernel"][:, :, hc, :]
+            p, s = _bn(sd, f"backbone_2d.blocks.{i}.2")
+            put(["backbone2d", f"block{i}_0", "conv"], conv)
+            put(["backbone2d", f"block{i}_0", "bn"], p, s)
+            for j in range(n_layers):
+                idx = 4 + j * 3
+                put(["backbone2d", f"block{i}_{j + 1}", "conv"],
+                    _conv2d(sd, f"backbone_2d.blocks.{i}.{idx}"))
+                pb, sb = _bn(sd, f"backbone_2d.blocks.{i}.{idx + 1}")
+                put(["backbone2d", f"block{i}_{j + 1}", "bn"], pb, sb)
+            # deblocks.i: [ConvTranspose2d, BN, ReLU] — the reference uses
+            # ConvTranspose2d for every upsample stride >= 1
+            # (base_bev_backbone.py:60-71), so the weight layout is
+            # (in, out, kh, kw) in BOTH cases. A stride-1 1x1 ConvTranspose
+            # equals a 1x1 Conv with the (kh, kw, in, out) reshape; verified
+            # numerically vs the real torch module in
+            # tests/test_torch_model_parity.py.
+            # torch ConvTranspose2d is the gradient-of-conv (spatially
+            # flipped kernel); flax nn.ConvTranspose(transpose_kernel=False)
+            # applies the kernel unflipped — mirror the spatial axes.
+            wt = _np(sd[f"backbone_2d.deblocks.{i}.0.weight"])
+            put(["backbone2d", f"deblock{i}", "conv"],
+                {"kernel": wt.transpose(2, 3, 0, 1)[::-1, ::-1].copy()})
+            pb, sb = _bn(sd, f"backbone_2d.deblocks.{i}.1")
+            put(["backbone2d", f"deblock{i}", "bn"], pb, sb)
 
     # ---- dense_head ----
-    for ours, ref in (("conv_cls", "conv_cls"), ("conv_box", "conv_box"),
-                      ("conv_dir", "conv_dir_cls")):
-        put(["dense_head", ours], _conv2d(sd, f"dense_head.{ref}"))
+    if have("dense_head"):
+        for ours, ref in (("conv_cls", "conv_cls"), ("conv_box", "conv_box"),
+                          ("conv_dir", "conv_dir_cls")):
+            put(["dense_head", ours], _conv2d(sd, f"dense_head.{ref}"))
 
     # ---- pfe (VoxelSetAbstraction) ----
-    def sa_branch(path, prefix, n_groups=2, n_layers=2):
-        # reference StackSAModuleMSG mlps.<g>: Sequential(Conv2d, BN2d,
-        # ReLU) x n → conv at 3k, bn at 3k+1
-        for g in range(n_groups):
-            for k in range(n_layers):
-                put(path + [f"mlp{g}", f"dense{k}"],
-                    _conv1x1_as_dense(sd, f"{prefix}.mlps.{g}.{3 * k}"))
-                p, s = _bn(sd, f"{prefix}.mlps.{g}.{3 * k + 1}")
-                put(path + [f"mlp{g}", f"bn{k}"], p, s)
+    if have("pfe"):
+        def sa_branch(path, prefix, n_groups=2, n_layers=2):
+            # reference StackSAModuleMSG mlps.<g>: Sequential(Conv2d, BN2d,
+            # ReLU) x n → conv at 3k, bn at 3k+1
+            for g in range(n_groups):
+                for k in range(n_layers):
+                    put(path + [f"mlp{g}", f"dense{k}"],
+                        _conv1x1_as_dense(sd, f"{prefix}.mlps.{g}.{3 * k}"))
+                    p, s = _bn(sd, f"{prefix}.mlps.{g}.{3 * k + 1}")
+                    put(path + [f"mlp{g}", f"bn{k}"], p, s)
 
-    sa_branch(["pfe", "sa_raw_points"], "pfe.SA_rawpoints")
-    for li, name in enumerate(("x_conv1", "x_conv2", "x_conv3", "x_conv4")):
-        sa_branch(["pfe", f"sa_{name}"], f"pfe.SA_layers.{li}")
-    fusion = _linear(sd, "pfe.vsa_point_feature_fusion.0")
-    # fusion input = concat(bev 256 | raw 32 | conv1 32 | conv2 64 |
-    # conv3 128 | conv4 128); permute the BEV slice rows (C,Z)->(Z,C)
-    fusion["kernel"] = np.concatenate(
-        [fusion["kernel"][:hc_z * hc_c][hc], fusion["kernel"][hc_z * hc_c:]],
-        axis=0)
-    put(["pfe", "fusion"], fusion)
-    p, s = _bn(sd, "pfe.vsa_point_feature_fusion.1")
-    put(["pfe", "fusion_bn"], p, s)
+        sa_branch(["pfe", "sa_raw_points"], "pfe.SA_rawpoints")
+        for li, name in enumerate(("x_conv1", "x_conv2", "x_conv3", "x_conv4")):
+            sa_branch(["pfe", f"sa_{name}"], f"pfe.SA_layers.{li}")
+        fusion = _linear(sd, "pfe.vsa_point_feature_fusion.0")
+        # fusion input = concat(bev 256 | raw 32 | conv1 32 | conv2 64 |
+        # conv3 128 | conv4 128); permute the BEV slice rows (C,Z)->(Z,C)
+        fusion["kernel"] = np.concatenate(
+            [fusion["kernel"][:hc_z * hc_c][hc], fusion["kernel"][hc_z * hc_c:]],
+            axis=0)
+        put(["pfe", "fusion"], fusion)
+        p, s = _bn(sd, "pfe.vsa_point_feature_fusion.1")
+        put(["pfe", "fusion_bn"], p, s)
 
     # ---- point_head ----
-    # make_fc_layers: Linear(bias=False), BN, ReLU per fc + final Linear
-    put(["point_head", "cls_mlp", "dense0"],
-        _linear(sd, "point_head.cls_layers.0"))
-    p, s = _bn(sd, "point_head.cls_layers.1")
-    put(["point_head", "cls_mlp", "bn0"], p, s)
-    put(["point_head", "cls_mlp", "dense1"],
-        _linear(sd, "point_head.cls_layers.3"))
-    p, s = _bn(sd, "point_head.cls_layers.4")
-    put(["point_head", "cls_mlp", "bn1"], p, s)
-    put(["point_head", "cls_out"], _linear(sd, "point_head.cls_layers.6"))
+    if have("point_head"):
+        # make_fc_layers: Linear(bias=False), BN, ReLU per fc + final Linear
+        put(["point_head", "cls_mlp", "dense0"],
+            _linear(sd, "point_head.cls_layers.0"))
+        p, s = _bn(sd, "point_head.cls_layers.1")
+        put(["point_head", "cls_mlp", "bn0"], p, s)
+        put(["point_head", "cls_mlp", "dense1"],
+            _linear(sd, "point_head.cls_layers.3"))
+        p, s = _bn(sd, "point_head.cls_layers.4")
+        put(["point_head", "cls_mlp", "bn1"], p, s)
+        put(["point_head", "cls_out"], _linear(sd, "point_head.cls_layers.6"))
 
     # ---- roi_head ----
-    # both radius groups live in mlps.0/mlps.1 of roi_grid_pool_layer
-    for g in (0, 1):
-        for k in (0, 1):
-            put(["roi_head", f"pool_mlp{g}", f"dense{k}"],
-                _conv1x1_as_dense(
-                    sd, f"roi_head.roi_grid_pool_layer.mlps.{g}.{3 * k}"))
-            p, s = _bn(sd,
-                       f"roi_head.roi_grid_pool_layer.mlps.{g}.{3 * k + 1}")
-            put(["roi_head", f"pool_mlp{g}", f"bn{k}"], p, s)
+    if have("roi_head"):
+        # both radius groups live in mlps.0/mlps.1 of roi_grid_pool_layer
+        for g in (0, 1):
+            for k in (0, 1):
+                put(["roi_head", f"pool_mlp{g}", f"dense{k}"],
+                    _conv1x1_as_dense(
+                        sd, f"roi_head.roi_grid_pool_layer.mlps.{g}.{3 * k}"))
+                p, s = _bn(sd,
+                           f"roi_head.roi_grid_pool_layer.mlps.{g}.{3 * k + 1}")
+                put(["roi_head", f"pool_mlp{g}", f"bn{k}"], p, s)
 
-    # shared_fc_layer: Conv1d(bias=False), BN1d, ReLU, [Dropout] per fc
-    g3 = grid_size ** 3
-    fc0 = _conv1x1_as_dense(sd, "roi_head.shared_fc_layer.0")
-    cin = fc0["kernel"].shape[0] // g3
-    # reference input is (C, G^3) C-outer; ours is (G^3, C)
-    perm = np.zeros(g3 * cin, np.int64)
-    for gi in range(g3):
-        for ci in range(cin):
-            perm[gi * cin + ci] = ci * g3 + gi
-    fc0["kernel"] = fc0["kernel"][perm]
-    put(["roi_head", "shared_fc0"], fc0)
-    p, s = _bn(sd, "roi_head.shared_fc_layer.1")
-    put(["roi_head", "shared_bn0"], p, s)
-    put(["roi_head", "shared_fc1"],
-        _conv1x1_as_dense(sd, "roi_head.shared_fc_layer.4"))
-    p, s = _bn(sd, "roi_head.shared_fc_layer.5")
-    put(["roi_head", "shared_bn1"], p, s)
+        # shared_fc_layer: Conv1d(bias=False), BN1d, ReLU, [Dropout] per fc
+        g3 = grid_size ** 3
+        fc0 = _conv1x1_as_dense(sd, "roi_head.shared_fc_layer.0")
+        cin = fc0["kernel"].shape[0] // g3
+        # reference input is (C, G^3) C-outer; ours is (G^3, C)
+        perm = np.zeros(g3 * cin, np.int64)
+        for gi in range(g3):
+            for ci in range(cin):
+                perm[gi * cin + ci] = ci * g3 + gi
+        fc0["kernel"] = fc0["kernel"][perm]
+        put(["roi_head", "shared_fc0"], fc0)
+        p, s = _bn(sd, "roi_head.shared_fc_layer.1")
+        put(["roi_head", "shared_bn0"], p, s)
+        put(["roi_head", "shared_fc1"],
+            _conv1x1_as_dense(sd, "roi_head.shared_fc_layer.4"))
+        p, s = _bn(sd, "roi_head.shared_fc_layer.5")
+        put(["roi_head", "shared_bn1"], p, s)
 
-    for name, ref in (("cls", "cls_layers"), ("reg", "reg_layers")):
-        # Conv1d, BN, ReLU, Dropout, Conv1d, BN, ReLU, final Conv1d
-        put(["roi_head", f"{name}_fc0"],
-            _conv1x1_as_dense(sd, f"roi_head.{ref}.0"))
-        p, s = _bn(sd, f"roi_head.{ref}.1")
-        put(["roi_head", f"{name}_bn0"], p, s)
-        put(["roi_head", f"{name}_fc1"],
-            _conv1x1_as_dense(sd, f"roi_head.{ref}.4"))
-        p, s = _bn(sd, f"roi_head.{ref}.5")
-        put(["roi_head", f"{name}_bn1"], p, s)
-        put(["roi_head", f"{name}_out"],
-            _conv1x1_as_dense(sd, f"roi_head.{ref}.7"))
+        for name, ref in (("cls", "cls_layers"), ("reg", "reg_layers")):
+            # Conv1d, BN, ReLU, Dropout, Conv1d, BN, ReLU, final Conv1d
+            put(["roi_head", f"{name}_fc0"],
+                _conv1x1_as_dense(sd, f"roi_head.{ref}.0"))
+            p, s = _bn(sd, f"roi_head.{ref}.1")
+            put(["roi_head", f"{name}_bn0"], p, s)
+            put(["roi_head", f"{name}_fc1"],
+                _conv1x1_as_dense(sd, f"roi_head.{ref}.4"))
+            p, s = _bn(sd, f"roi_head.{ref}.5")
+            put(["roi_head", f"{name}_bn1"], p, s)
+            put(["roi_head", f"{name}_out"],
+                _conv1x1_as_dense(sd, f"roi_head.{ref}.7"))
 
     return params, stats
 

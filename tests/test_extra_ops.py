@@ -210,7 +210,7 @@ def test_sa_group_mlp_decomposition_exact():
 
     grouped, sv2, cnt2 = batched_group(kp, kv, xyz, pv, feats, r, ns)
     np.testing.assert_array_equal(np.asarray(sv2), np.asarray(slot_valid))
-    ref_mod = MLP((16, 24))
+    ref_mod = MLP((16, 24), eps=1e-5)  # SA MLPs use torch-default BN eps
     ref, _ = ref_mod.apply(vs, grouped, mask=slot_valid,
                            use_running_average=False,
                            mutable=["batch_stats"])

@@ -121,17 +121,27 @@ def main(per_phase=False):
     key = jax.random.PRNGKey(0)
     vbatch = voxelize_views(batch, SPEC)
     lab3d = vbatch["lab"]["stu"]
-    t0 = time.time()
-    state = ssl.init_states(key, lab3d, lab3d["img"], lab3d["img_shape"])
-    print(f"[init {time.time() - t0:.0f}s]", flush=True)
-
     # per-branch optimizers operate on single-branch trees
     import optax
     tx3 = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(1e-3))
     tx2 = optax.chain(optax.clip_by_global_norm(10.0),
                       optax.sgd(1e-3, momentum=0.9))
-    opt3 = tx3.init(state["student"]["det3d"]["params"])
-    opt2 = tx2.init(state["student"]["det2d"]["params"])
+    t0 = time.time()
+    # init on the LOCAL CPU backend + one identity-jit transfer (eager
+    # initializer dispatch through the tunnel costs ~9 min; committed
+    # device_put arrays would silently recompile — see benchmarks.py)
+    lab3d_sds = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        lab3d)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        state = ssl.init_states(key, lab3d_sds, lab3d_sds["img"],
+                                lab3d_sds["img_shape"])
+        opt3 = tx3.init(state["student"]["det3d"]["params"])
+        opt2 = tx2.init(state["student"]["det2d"]["params"])
+    state, opt3, opt2 = jax.jit(lambda s, a, b: (s, a, b))(
+        state, opt3, opt2)
+    jax.block_until_ready(state)
+    print(f"[init(cpu)+transfer {time.time() - t0:.0f}s]", flush=True)
 
     teacher_fn, stu3d_fn, stu2d_fn, ema_fn = make_ssl_train_fns_split(
         ssl, tx3, tx2, SPEC)

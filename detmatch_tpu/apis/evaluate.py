@@ -217,3 +217,45 @@ def eval_ssl(ssl, state, ds, collate_fn, vox_spec, batch_size=2,
             np.mean([len(d["scores"]) for d in det2]))
         dets[f"{branch[:3]}.2d"] = det2
     return (out, dets) if return_dets else out
+
+
+def recalibrate_batch_stats(model, variables, batches, rng=None,
+                            passes=300):
+    """Refresh BatchNorm running statistics with frozen parameters.
+
+    Runs train-mode forwards that mutate ONLY the ``batch_stats``
+    collection. With the reference's BN momentum 0.01 the running
+    estimate is an exponential average with a ~100-iteration window
+    (``new = 0.99*old + 0.01*batch``), so a checkpoint whose last
+    training phase was short or fast-moving evaluates with stale
+    statistics — observed as eval-mode detections degrading into
+    garbage while train-mode forwards on the same inputs are accurate.
+    The reference sidesteps this by pretraining 30k-60k iterations
+    (``pretrain_pvrcnn/split_0.py``: 40 epochs); for short runs (the
+    learning study, quick fine-tunes) an explicit recalibration pass is
+    the standard remedy.
+
+    Args:
+        model: flax module with ``apply(vars, batch, train=True)``.
+        variables: dict with 'params' (+ 'batch_stats').
+        batches: sequence of voxelized batches to cycle through.
+        passes: total forward passes (~3x the 1/momentum window).
+    Returns:
+        variables with refreshed 'batch_stats'.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def step(v, b):
+        _, mut = model.apply(v, b, train=True,
+                             rngs={"sampling": rng, "dropout": rng},
+                             mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    variables = dict(variables)
+    batches = list(batches)
+    for k in range(passes):
+        variables["batch_stats"] = step(variables, batches[k % len(batches)])
+    jax.block_until_ready(variables["batch_stats"])
+    return variables

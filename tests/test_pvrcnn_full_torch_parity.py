@@ -22,6 +22,10 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# converter-coverage tests (~75 s on the 1-core host): slow tier, so the
+# core tier stays inside its 10-minute budget with the full-model smoke
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402

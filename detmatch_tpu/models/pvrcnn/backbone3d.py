@@ -58,8 +58,22 @@ class VoxelBackbone8x(nn.Module):
     # 'auto': fused key-compare MXU kernel on TPU (zero gathers),
     # XLA lookup+gather elsewhere; 'xla' / 'pallas_key' force a path.
     conv_impl: str = "auto"
+    # Optional impl override for the full-resolution level-1 layers
+    # (conv_input/conv1_0): at C=4/16 the MXU key-compare kernel is pure
+    # compare overhead (channel math is negligible), so the rulebook
+    # gather path can win there while the window kernel keeps the deep
+    # layers. None = same impl everywhere; env DETMATCH_SPCONV_L1
+    # overrides for experiments.
+    conv_impl_level1: str = None
 
-    def _impl(self):
+    def _impl(self, level1=False):
+        if level1:
+            impl = self.conv_impl_level1
+            if impl is None:
+                import os
+                impl = os.environ.get("DETMATCH_SPCONV_L1")
+            if impl:
+                return impl
         impl = self.conv_impl
         if impl == "auto":
             import os
@@ -70,11 +84,11 @@ class VoxelBackbone8x(nn.Module):
                     else "xla")
         return impl
 
-    def _rulebook(self, keys, nkeys, shape):
+    def _rulebook(self, keys, nkeys, shape, level1=False):
         """XLA path: resolve neighbor keys to indices ONCE per indice_key
         (the reference's rulebook cache, ``conv.py:95-169``); pallas paths
         fuse the lookup into the kernel, so no rulebook is needed."""
-        if self._impl() != "xla":
+        if self._impl(level1) != "xla":
             return None
         b, n, k = nkeys.shape
         band = int(np.prod(shape)) + 2
@@ -82,10 +96,10 @@ class VoxelBackbone8x(nn.Module):
                                      band=band).reshape(b, n, k)
 
     def _conv(self, feats, keys, nkeys, w, shape, rb=None,
-              out_keys=None):
+              out_keys=None, level1=False):
         """Dispatch: windowed / full key-compare kernels vs rulebook
         gather-GEMM."""
-        impl = self._impl()
+        impl = self._impl(level1)
         if impl == "pallas_window":
             from ...ops.pallas.window_key_conv import (
                 window_key_conv_batched)
@@ -98,13 +112,14 @@ class VoxelBackbone8x(nn.Module):
             band = int(np.prod(shape)) + 1
             return key_conv_batched(feats, keys, nkeys, w, band)
         if rb is None:
-            rb = self._rulebook(keys, nkeys, shape)
+            rb = self._rulebook(keys, nkeys, shape, level1=level1)
         return spconv.gather_conv_batched(feats, rb, w)
 
     def _subm(self, name, feats, keys, nkeys, cin, cout, mask, train,
-              shape, rb=None):
+              shape, rb=None, level1=False):
         w = self.param(name + "_w", KAIMING, (27, cin, cout))
-        out = self._conv(feats, keys, nkeys, w, shape, rb=rb)
+        out = self._conv(feats, keys, nkeys, w, shape, rb=rb,
+                         level1=level1)
         out = MaskedBatchNorm(
             name=name + "_bn",
             use_running_average=self.use_running_average,
@@ -151,12 +166,12 @@ class VoxelBackbone8x(nn.Module):
         mask1 = voxel_keys != INVALID_KEY
 
         nk1 = spconv.subm_neighbor_keys(voxel_keys, shape1, (3, 3, 3))
-        rb1 = self._rulebook(voxel_keys, nk1, shape1)
+        rb1 = self._rulebook(voxel_keys, nk1, shape1, level1=True)
         x = self._subm("conv_input", voxel_features, voxel_keys, nk1,
                        voxel_features.shape[-1], c1, mask1, train, shape1,
-                       rb=rb1)
+                       rb=rb1, level1=True)
         x = self._subm("conv1_0", x, voxel_keys, nk1, c1, c1b, mask1,
-                       train, shape1, rb=rb1)
+                       train, shape1, rb=rb1, level1=True)
         x_conv1 = x
 
         x, keys2, n2, mask2, shape2 = self._down(
